@@ -1,0 +1,181 @@
+"""Tile-based alpha compositing rasterizer — vectorized XLA implementation.
+
+TPU-native replacement for gsplat's ``rasterize_to_pixels`` fwd/bwd CUDA
+kernels (reference SURVEY D5; call contract at reference model.py:267-288).
+Design, TPU-first rather than a CUDA translation:
+
+- per-tile **fixed-K** front-to-back compositing: gather each tile's K
+  depth-ordered gaussians (from :mod:`qed_splatter_tpu.ops.tiles`), evaluate
+  all K alphas for all 256 pixels of the tile at once, and reduce with an
+  exclusive cumulative product of transmittance. The weighted color reduction
+  is a [P, K] x [K, D] matmul that lands on the MXU.
+- gradients come from plain autodiff (cumprod backward is exact; alpha is
+  clamped to <= 0.999 so 1 - alpha never vanishes) — no hand-written
+  back-to-front replay is needed, matching gsplat's analytic backward in
+  function.
+- **absgrad** (model.py:284, feeds densification): callers pass a zeros
+  ``tile_eps`` [T, K, 2] that perturbs the *gathered* screen means; the
+  gradient w.r.t. it is the per-tile means2d gradient, whose absolute values
+  are scatter-added per gaussian — the same tile-granularity abs-gradient
+  gsplat accumulates atomically.
+
+A Pallas kernel version with identical semantics lives in
+``rasterize_pallas.py`` for the hot path; this module is the differentiable
+oracle and the parity test target.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Compositing constants shared with gsplat's kernels.
+ALPHA_EPS = 1.0 / 255.0   # skip near-transparent contributions
+ALPHA_MAX = 0.999         # clamp so transmittance never hits zero
+
+
+class RasterizeResult(NamedTuple):
+    render: jnp.ndarray  # [H, W, D] composited channels (premultiplied)
+    alpha: jnp.ndarray   # [H, W, 1] accumulated opacity
+
+
+def _composite_chunk(
+    chunk: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    means2d: jnp.ndarray,
+    conics: jnp.ndarray,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    num_tiles_x: int,
+    tile_size: int,
+):
+    tile_idx, ids, eps = chunk          # [Tc], [Tc, K], [Tc, K, 2]
+    tc, k = ids.shape
+    safe = jnp.maximum(ids, 0)
+    slot_ok = ids >= 0                   # [Tc, K]
+
+    mg = means2d[safe] + eps             # [Tc, K, 2]
+    cg = conics[safe]                    # [Tc, K, 3]
+    colg = colors[safe]                  # [Tc, K, D]
+    og = opacities[safe]                 # [Tc, K]
+
+    # Pixel centers of each tile: [Tc, P] for x and y.
+    ox = (tile_idx % num_tiles_x) * tile_size
+    oy = (tile_idx // num_tiles_x) * tile_size
+    local = jnp.arange(tile_size, dtype=means2d.dtype) + 0.5
+    px = (ox[:, None].astype(means2d.dtype) + local[None, :])  # [Tc, ts]
+    py = (oy[:, None].astype(means2d.dtype) + local[None, :])
+    # Full pixel grid [Tc, P] with P = ts*ts, row-major (y, x).
+    px = jnp.tile(px[:, None, :], (1, tile_size, 1)).reshape(tc, -1)
+    py = jnp.repeat(py[:, :, None], tile_size, axis=2).reshape(tc, -1)
+
+    dx = mg[:, None, :, 0] - px[:, :, None]   # [Tc, P, K]
+    dy = mg[:, None, :, 1] - py[:, :, None]
+    sigma = (
+        0.5 * (cg[:, None, :, 0] * dx * dx + cg[:, None, :, 2] * dy * dy)
+        + cg[:, None, :, 1] * dx * dy
+    )
+    alpha = og[:, None, :] * jnp.exp(-sigma)
+    ok = slot_ok[:, None, :] & (sigma >= 0.0) & (alpha > ALPHA_EPS)
+    alpha = jnp.where(ok, jnp.minimum(alpha, ALPHA_MAX), 0.0)
+
+    # Exclusive cumulative transmittance along the depth-ordered K axis.
+    one_minus = 1.0 - alpha
+    t_incl = jnp.cumprod(one_minus, axis=-1)
+    t_excl = jnp.concatenate(
+        [jnp.ones_like(t_incl[..., :1]), t_incl[..., :-1]], axis=-1
+    )
+    w = alpha * t_excl                                    # [Tc, P, K]
+    out = jnp.einsum(
+        "tpk,tkd->tpd", w, colg, preferred_element_type=jnp.float32
+    )
+    acc = jnp.sum(w, axis=-1)                             # [Tc, P]
+    return out, acc
+
+
+def rasterize_tiles(
+    tile_lists: jnp.ndarray,   # [T, K] from bin_gaussians (front-to-back, -1 pad)
+    means2d: jnp.ndarray,      # [N, 2]
+    conics: jnp.ndarray,       # [N, 3]
+    colors: jnp.ndarray,       # [N, D] channels to composite (RGB / RGB+depth)
+    opacities: jnp.ndarray,    # [N] in [0, 1] (sigmoid + compensation upstream)
+    width: int,
+    height: int,
+    num_tiles_x: int,
+    tile_size: int = 16,
+    tile_eps: Optional[jnp.ndarray] = None,
+    tile_chunk: int = 0,
+) -> RasterizeResult:
+    """Composite per-tile gaussian lists into an image (single camera)."""
+    t, k = tile_lists.shape
+    d = colors.shape[-1]
+    num_tiles_y = -(-t // num_tiles_x)
+    assert num_tiles_x * num_tiles_y == t, "tile grid mismatch"
+    p = tile_size * tile_size
+
+    if tile_eps is None:
+        tile_eps = jnp.zeros((t, k, 2), dtype=means2d.dtype)
+
+    if tile_chunk <= 0:
+        # ~48 MiB fp32 working set for the [Tc, P, K] intermediates.
+        budget = (48 << 20) // 4
+        tile_chunk = max(1, min(t, budget // max(p * k * 4, 1)))
+    num_chunks = -(-t // tile_chunk)
+    pad = num_chunks * tile_chunk - t
+
+    tl = jnp.pad(tile_lists, ((0, pad), (0, 0)), constant_values=-1)
+    te = jnp.pad(tile_eps, ((0, pad), (0, 0), (0, 0)))
+    tid = jnp.arange(t + pad, dtype=jnp.int32)
+
+    chunk_fn = functools.partial(
+        _composite_chunk,
+        means2d=means2d,
+        conics=conics,
+        colors=colors,
+        opacities=opacities,
+        num_tiles_x=num_tiles_x,
+        tile_size=tile_size,
+    )
+    out, acc = jax.lax.map(
+        chunk_fn,
+        (
+            tid.reshape(num_chunks, tile_chunk),
+            tl.reshape(num_chunks, tile_chunk, k),
+            te.reshape(num_chunks, tile_chunk, k, 2),
+        ),
+    )
+    out = out.reshape(t + pad, p, d)[:t]
+    acc = acc.reshape(t + pad, p)[:t]
+
+    # [T, P, D] -> [H, W, D]
+    img = out.reshape(num_tiles_y, num_tiles_x, tile_size, tile_size, d)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(
+        num_tiles_y * tile_size, num_tiles_x * tile_size, d
+    )[:height, :width]
+    a = acc.reshape(num_tiles_y, num_tiles_x, tile_size, tile_size)
+    a = a.transpose(0, 2, 1, 3).reshape(
+        num_tiles_y * tile_size, num_tiles_x * tile_size
+    )[:height, :width]
+    return RasterizeResult(render=img, alpha=a[..., None])
+
+
+def absgrad_scatter(
+    tile_grads: jnp.ndarray,  # [T, K, 2] d(loss)/d(tile_eps)
+    tile_lists: jnp.ndarray,  # [T, K]
+    num_gaussians: int,
+) -> jnp.ndarray:
+    """Accumulate per-gaussian absolute screen-gradient norms.
+
+    Equivalent of gsplat's ``absgrad=True`` output consumed by splatfacto's
+    densification (reference model.py:284, 289-292): per-tile gradients'
+    absolute values are summed per gaussian, then the caller takes the norm.
+    Returns [N, 2] summed |grad| per gaussian.
+    """
+    ids = tile_lists.reshape(-1)
+    g = jnp.abs(tile_grads.reshape(-1, 2))
+    safe = jnp.where(ids >= 0, ids, num_gaussians)
+    out = jnp.zeros((num_gaussians + 1, 2), dtype=tile_grads.dtype)
+    out = out.at[safe].add(g, mode="drop")
+    return out[:num_gaussians]

@@ -1,0 +1,68 @@
+"""SSIM with an 11x11 gaussian window — torchmetrics-compatible.
+
+Matches ``StructuralSimilarityIndexMeasure(data_range=1.0, kernel_size=11)``
+used for both the eval metric (reference metrics.py:94) and splatfacto's
+``1 - SSIM`` term in the photometric loss (SURVEY D8): gaussian kernel with
+sigma = 1.5, *valid* convolution (no padding), per-channel, averaged.
+
+Implemented as two separable depthwise convs — XLA maps these onto fused
+convolution kernels; gradients are exact via autodiff.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+from jax import lax
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_kernel_np(kernel_size: int, sigma: float):
+    import numpy as np
+
+    half = (kernel_size - 1) / 2.0
+    x = np.arange(kernel_size, dtype=np.float64) - half
+    g = np.exp(-(x**2) / (2.0 * sigma**2))
+    g /= g.sum()
+    return g.astype(np.float32)
+
+
+def _blur(img: jnp.ndarray, kernel_size: int, sigma: float) -> jnp.ndarray:
+    """Separable valid-mode gaussian blur. img: [H, W, C] -> [H-k+1, W-k+1, C]."""
+    g = jnp.asarray(_gaussian_kernel_np(kernel_size, sigma))
+    c = img.shape[-1]
+    x = img[None].transpose(0, 3, 1, 2)  # NCHW
+    kh = jnp.tile(g.reshape(1, 1, kernel_size, 1), (c, 1, 1, 1))
+    kw = jnp.tile(g.reshape(1, 1, 1, kernel_size), (c, 1, 1, 1))
+    dn = lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    x = lax.conv_general_dilated(
+        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+    )
+    x = lax.conv_general_dilated(
+        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+    )
+    return x.transpose(0, 2, 3, 1)[0]
+
+
+def ssim(
+    pred: jnp.ndarray,   # [H, W, C] in [0, data_range]
+    target: jnp.ndarray,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+    data_range: float = 1.0,
+) -> jnp.ndarray:
+    """Scalar mean SSIM (higher is better)."""
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mu_p = _blur(pred, kernel_size, sigma)
+    mu_t = _blur(target, kernel_size, sigma)
+    mu_pp = _blur(pred * pred, kernel_size, sigma)
+    mu_tt = _blur(target * target, kernel_size, sigma)
+    mu_pt = _blur(pred * target, kernel_size, sigma)
+    var_p = mu_pp - mu_p * mu_p
+    var_t = mu_tt - mu_t * mu_t
+    cov = mu_pt - mu_p * mu_t
+    num = (2.0 * mu_p * mu_t + c1) * (2.0 * cov + c2)
+    den = (mu_p * mu_p + mu_t * mu_t + c1) * (var_p + var_t + c2)
+    return jnp.mean(num / den)
