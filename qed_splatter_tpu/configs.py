@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 from typing import Literal, Optional, Tuple
 
 
-@dataclass
+@dataclass(frozen=True)
 class ModelConfig:
     """QEDSplatterModelConfig + inherited SplatfactoModelConfig fields.
 
@@ -67,7 +67,7 @@ class ModelConfig:
     use_pallas: bool = True              # pallas kernels on TPU, XLA elsewhere
 
 
-@dataclass
+@dataclass(frozen=True)
 class AdamConfig:
     """AdamOptimizerConfig + ExponentialDecaySchedulerConfig (reference
     config.py:44-81; SURVEY D9). lr_final None = constant lr."""
@@ -100,7 +100,7 @@ def default_optimizers() -> dict:
     }
 
 
-@dataclass
+@dataclass(frozen=True)
 class DataConfig:
     """Dataparser + datamanager configuration (reference dataparser.py:13-18,
     config.py:33-38; SURVEY D7/D12)."""

@@ -1,0 +1,166 @@
+"""The jitted training step: render -> loss -> adjoint -> Adam -> stats.
+
+This is the per-iteration "solve" of BASELINE.json's north star. One call
+does what the reference's Trainer step does across
+``pipeline.get_train_loss_dict`` + ``loss.backward()`` + ``optimizer.step()``
+(SURVEY §3 stack A), as a single compiled XLA program:
+
+- forward render of one camera (reference model.py:199-321),
+- photometric + depth-L1 + regularization losses (model.py:73-118),
+- gradients to all six gaussian groups and the camera-opt deltas,
+- the absgrad side-channel for densification (model.py:284, 289-292),
+- per-group Adam updates (config.py:44-81),
+- densify-stat accumulation.
+
+Static configuration (image size, capacity, flags) is closed over via
+``make_train_step`` so XLA compiles one program per resolution bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from qed_splatter_tpu.configs import ModelConfig
+from qed_splatter_tpu.engine.densify import DensifyStats, accumulate_stats
+from qed_splatter_tpu.engine.optim import GroupOptimizers
+from qed_splatter_tpu.models.camera_opt import (
+    apply_camera_opt,
+    camera_opt_regularizer,
+)
+from qed_splatter_tpu.models.gaussians import GaussianParams
+from qed_splatter_tpu.models.splatfacto import render, total_loss
+from qed_splatter_tpu.ops.rasterize import absgrad_scatter
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Everything the jitted step mutates."""
+
+    params: GaussianParams
+    opt_state: Dict
+    camera_opt: jnp.ndarray        # [num_cameras, 6] SO3xR3 deltas
+    camera_opt_state: Dict         # optax state for the camera_opt group
+    stats: DensifyStats
+    step: jnp.ndarray              # int32 scalar
+
+
+def init_train_state(
+    params: GaussianParams,
+    optims: GroupOptimizers,
+    num_cameras: int,
+) -> TrainState:
+    cam = jnp.zeros((max(num_cameras, 1), 6), jnp.float32)
+    return TrainState(
+        params=params,
+        opt_state=optims.init(params.trainable_dict()),
+        camera_opt=cam,
+        camera_opt_state=optims.txs["camera_opt"].init(cam),
+        stats=DensifyStats.zeros(params.capacity),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    cfg: ModelConfig,
+    optims: GroupOptimizers,
+    width: int,
+    height: int,
+    has_depth: bool,
+    has_mask: bool = False,
+    camera_opt_on: Optional[bool] = None,
+):
+    """Build a jit-ready step for one (width, height) bucket."""
+    if camera_opt_on is None:
+        camera_opt_on = cfg.camera_opt_mode != "off"
+    ts = cfg.tile_size
+    num_tiles = (-(-width // ts)) * (-(-height // ts))
+    k = cfg.max_per_tile
+    max_hw = max(width, height)
+
+    def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
+        """batch: c2w [3or4,4], K [3,3], cam_idx int32, rgb [H,W,3],
+        depth [H,W,1] (if has_depth), mask [H,W,1] (if has_mask)."""
+        rng_bg, _ = jax.random.split(rng)
+        gt_rgb = batch["rgb"]
+        gt_depth = batch["depth"] if has_depth else None
+        mask = batch["mask"] if has_mask else None
+
+        def loss_fn(gdict, cam_delta, tile_eps):
+            p = state.params.replace_trainable(gdict)
+            c2w = batch["c2w"]
+            if camera_opt_on:
+                c2w = apply_camera_opt(c2w, cam_delta[batch["cam_idx"]])
+            out = render(
+                p, c2w, batch["K"], width, height, cfg,
+                step=state.step, train=True, bg_rng=rng_bg, tile_eps=tile_eps,
+            )
+            loss, losses = total_loss(
+                out, gt_rgb, gt_depth, p, cfg, state.step, mask
+            )
+            if camera_opt_on:
+                reg = camera_opt_regularizer(cam_delta[batch["cam_idx"]])
+                losses = dict(losses, camera_opt_regularizer=reg)
+                loss = loss + reg
+            return loss, (losses, out)
+
+        tile_eps = jnp.zeros((num_tiles, k, 2), jnp.float32)
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+        (loss, (losses, out)), (g_params, g_cam, g_eps) = grad_fn(
+            state.params.trainable_dict(), state.camera_opt, tile_eps
+        )
+
+        # absgrad densification statistics (reference model.py:289-292)
+        absg = absgrad_scatter(g_eps, out.tile_lists, state.params.capacity)
+        stats = accumulate_stats(state.stats, absg, out.radii, max_hw)
+
+        # per-group Adam (reference config.py:44-81)
+        new_gparams, new_opt = optims.update(
+            g_params, state.opt_state, state.params.trainable_dict()
+        )
+        params = state.params.replace_trainable(new_gparams)
+
+        if camera_opt_on:
+            upd, cam_state = optims.txs["camera_opt"].update(
+                g_cam, state.camera_opt_state, state.camera_opt
+            )
+            camera_opt = state.camera_opt + upd
+        else:
+            camera_opt, cam_state = state.camera_opt, state.camera_opt_state
+
+        metrics = dict(losses)
+        metrics["loss"] = loss
+        metrics["gaussian_count"] = params.num_alive()
+        metrics["psnr"] = -10.0 * jnp.log10(
+            jnp.mean((out.rgb - gt_rgb) ** 2) + 1e-12
+        )
+
+        new_state = TrainState(
+            params=params,
+            opt_state=new_opt,
+            camera_opt=camera_opt,
+            camera_opt_state=cam_state,
+            stats=stats,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_render(cfg: ModelConfig, width: int, height: int):
+    """Jitted eval-mode render (no camera-opt, fixed background)."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def eval_fn(params: GaussianParams, c2w, K, step):
+        out = render(
+            params, c2w, K, width, height, cfg,
+            step=step, train=False, bg_rng=None,
+        )
+        return out.rgb, out.depth, out.accumulation
+
+    return eval_fn

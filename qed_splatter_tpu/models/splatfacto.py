@@ -1,0 +1,236 @@
+"""The splat model: differentiable forward render + training losses.
+
+Functional re-design of ``QEDSplatterModel`` / ``SplatfactoModel``
+(reference model.py:199-321 for the forward pass, model.py:73-118 for the
+depth-supervised loss, SURVEY D8 for inherited splatfacto behavior). No
+module state: ``render`` is a pure function of (gaussian params, camera,
+step, rng) so it jits/vmaps/shards cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from qed_splatter_tpu.configs import ModelConfig
+from qed_splatter_tpu.models.gaussians import GaussianParams
+from qed_splatter_tpu.ops.camera import get_viewmat
+from qed_splatter_tpu.ops.projection import project_gaussians
+from qed_splatter_tpu.ops.rasterize import rasterize_tiles
+from qed_splatter_tpu.ops.sh import eval_sh_colors, num_sh_bases
+from qed_splatter_tpu.ops.ssim import ssim
+from qed_splatter_tpu.ops.tiles import bin_gaussians
+
+# nerfstudio's fixed eval background (splatfacto uses a random background
+# during training, reference SURVEY D8; this constant for eval renders).
+EVAL_BACKGROUND = (0.1490, 0.1647, 0.2157)
+
+
+class RenderOutputs(NamedTuple):
+    """Equivalent of the dict returned at reference model.py:316-321."""
+
+    rgb: jnp.ndarray            # [H, W, 3] in [0, 1]
+    depth: Optional[jnp.ndarray]  # [H, W, 1] or None (render_mode RGB)
+    accumulation: jnp.ndarray   # [H, W, 1]
+    background: jnp.ndarray     # [3]
+    # densification inputs (reference model.py:289-292 stashes xys/radii)
+    radii: jnp.ndarray          # [N] int32
+    tile_lists: jnp.ndarray     # [T, K]
+    num_tiles_x: int
+    visible: jnp.ndarray        # [N] bool (radius > 0)
+
+
+def active_sh_degree(step: jnp.ndarray, sh_degree: int,
+                     sh_degree_interval: int) -> jnp.ndarray:
+    """min(step // interval, sh_degree) — reference model.py:262."""
+    return jnp.minimum(step // sh_degree_interval, sh_degree)
+
+
+def background_color(cfg: ModelConfig, train: bool,
+                     rng: Optional[jax.Array]) -> jnp.ndarray:
+    if cfg.background_color == "white":
+        return jnp.ones(3)
+    if cfg.background_color == "black":
+        return jnp.zeros(3)
+    if train:
+        assert rng is not None, "random background needs an rng key"
+        return jax.random.uniform(rng, (3,))
+    return jnp.asarray(EVAL_BACKGROUND)
+
+
+def render(
+    params: GaussianParams,
+    c2w: jnp.ndarray,          # [3or4, 4] OpenGL camera-to-world (post camera-opt)
+    K: jnp.ndarray,            # [3, 3]
+    width: int,
+    height: int,
+    cfg: ModelConfig,
+    step: jnp.ndarray,
+    train: bool,
+    bg_rng: Optional[jax.Array] = None,
+    tile_eps: Optional[jnp.ndarray] = None,
+    render_depth: Optional[bool] = None,
+) -> RenderOutputs:
+    """Full forward render of one camera (reference model.py:199-321).
+
+    ``width``/``height`` are static (compile-time); everything else traced.
+    ``tile_eps`` is the absgrad side-channel (see ops.rasterize).
+    """
+    if render_depth is None:
+        render_depth = cfg.output_depth_during_training or not train
+
+    viewmat = get_viewmat(c2w[None])                        # [1, 4, 4]
+    campos = c2w[:3, 3]
+
+    proj = project_gaussians(
+        params.means,
+        params.quats,
+        jnp.exp(params.scales),                            # model.py:270
+        viewmat,
+        K[None],
+        width,
+        height,
+        near_plane=cfg.near_plane,
+        far_plane=cfg.far_plane,
+        antialiased=(cfg.rasterize_mode == "antialiased"),
+    )
+    # Dead capacity slots never rasterize.
+    radii = jnp.where(params.alive, proj.radii[0], 0)
+
+    if cfg.sh_degree > 0:
+        deg = active_sh_degree(step, cfg.sh_degree, cfg.sh_degree_interval)
+        coeffs = jnp.concatenate(
+            [params.features_dc[:, None, :], params.features_rest], axis=1
+        )  # model.py:241
+        rgb_g = eval_sh_colors(coeffs, params.means, campos, deg, cfg.sh_degree)
+    else:
+        rgb_g = jax.nn.sigmoid(params.features_dc)          # model.py:263-264
+
+    opac = jax.nn.sigmoid(params.opacities) * proj.compensations[0]
+
+    channels = rgb_g
+    if render_depth:
+        channels = jnp.concatenate([rgb_g, proj.depths[0][:, None]], axis=-1)
+
+    binning = bin_gaussians(
+        proj.means2d[0],
+        radii,
+        proj.depths[0],
+        width,
+        height,
+        tile_size=cfg.tile_size,
+        max_per_tile=cfg.max_per_tile,
+    )
+    out = rasterize_tiles(
+        binning.tile_lists,
+        proj.means2d[0],
+        proj.conics[0],
+        channels,
+        opac,
+        width,
+        height,
+        binning.num_tiles_x,
+        tile_size=cfg.tile_size,
+        tile_eps=tile_eps,
+    )
+
+    bg = background_color(cfg, train, bg_rng)
+    rgb = out.render[..., :3] + (1.0 - out.alpha) * bg       # model.py:296
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+
+    depth = None
+    if render_depth:
+        depth = out.render[..., 3:4]
+        # Where nothing rendered, fall back to the (detached) max depth
+        # (model.py:304-306).
+        far = jax.lax.stop_gradient(jnp.max(depth))
+        depth = jnp.where(out.alpha > 0, depth, far)
+
+    return RenderOutputs(
+        rgb=rgb,
+        depth=depth,
+        accumulation=out.alpha,
+        background=bg,
+        radii=radii,
+        tile_lists=binning.tile_lists,
+        num_tiles_x=binning.num_tiles_x,
+        visible=radii > 0,
+    )
+
+
+def photometric_loss(
+    pred: jnp.ndarray,      # [H, W, 3]
+    gt: jnp.ndarray,        # [H, W, 3] float in [0, 1]
+    ssim_lambda: float,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Splatfacto main loss: (1-l)*L1 + l*(1-SSIM) (SURVEY D8), with the
+    optional pixel mask applied multiplicatively like the reference."""
+    if mask is not None:
+        pred = pred * mask
+        gt = gt * mask
+    l1 = jnp.mean(jnp.abs(gt - pred))
+    s = 1.0 - ssim(pred, gt)
+    return (1.0 - ssim_lambda) * l1 + ssim_lambda * s
+
+
+def depth_l1_loss(
+    depth_pred: jnp.ndarray,   # [H, W, 1]
+    depth_gt: jnp.ndarray,     # [H, W, 1] metric depth (0 = invalid)
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Masked L1 depth loss — reference model.py:93-114 semantics exactly:
+    multiply by the optional mask, keep finite-and-positive GT pixels, mean of
+    |pred - gt| over them, 0.0 when no pixel is valid."""
+    if mask is not None:
+        depth_pred = depth_pred * mask
+        depth_gt = depth_gt * mask
+    valid = (
+        jnp.isfinite(depth_pred) & jnp.isfinite(depth_gt) & (depth_gt > 0.0)
+    )
+    diff = jnp.where(valid, jnp.abs(depth_pred - depth_gt), 0.0)
+    count = jnp.sum(valid)
+    return jnp.where(count > 0, jnp.sum(diff) / jnp.maximum(count, 1), 0.0)
+
+
+def scale_regularization(params: GaussianParams,
+                         max_gauss_ratio: float) -> jnp.ndarray:
+    """Splatfacto's anisotropy penalty (SURVEY D8): 0.1 * mean over alive of
+    (max(exp-scale ratio, r_max) - r_max)."""
+    s = jnp.exp(params.scales)
+    ratio = jnp.max(s, axis=-1) / jnp.maximum(jnp.min(s, axis=-1), 1e-12)
+    pen = jnp.maximum(ratio, max_gauss_ratio) - max_gauss_ratio
+    alive = params.alive
+    n = jnp.maximum(jnp.sum(alive), 1)
+    return 0.1 * jnp.sum(jnp.where(alive, pen, 0.0)) / n
+
+
+def total_loss(
+    outputs: RenderOutputs,
+    gt_rgb: jnp.ndarray,
+    gt_depth: Optional[jnp.ndarray],
+    params: GaussianParams,
+    cfg: ModelConfig,
+    step: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """Full loss dict (reference get_loss_dict model.py:73-118 over the
+    inherited splatfacto terms). Returns (scalar, dict)."""
+    losses = {}
+    losses["main_loss"] = photometric_loss(
+        outputs.rgb, gt_rgb, cfg.ssim_lambda, mask
+    )
+    if cfg.use_scale_regularization:
+        # reference applies it every 10 steps; keep it jit-stable with where
+        on = (step % 10) == 0
+        losses["scale_reg"] = jnp.where(
+            on, scale_regularization(params, cfg.max_gauss_ratio), 0.0
+        )
+    if gt_depth is not None and outputs.depth is not None:
+        losses["depth_loss"] = cfg.depth_lambda * depth_l1_loss(
+            outputs.depth, gt_depth, mask
+        )
+    total = sum(losses.values())
+    return total, losses
