@@ -41,6 +41,77 @@ def simple_camera(width: int = 64, height: int = 48, f: float = 60.0):
     return viewmat, K
 
 
+def write_synthetic_dataset(
+    root,
+    num_frames: int = 6,
+    width: int = 64,
+    height: int = 48,
+    depth_format: str = "npy",
+    with_ply: bool = False,
+    depth_unit: float = 1000.0,
+    seed: int = 0,
+) -> None:
+    """Write a nerfstudio-style RGB-D dataset (transforms.json + images +
+    depths) rendered from a simple analytic scene: a textured plane at
+    z = 4 in front of orbiting cameras."""
+    import json
+    from pathlib import Path
+
+    from PIL import Image
+
+    root = Path(root)
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    (root / "depth").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    f = 60.0
+    frames = []
+    for i in range(num_frames):
+        az = 0.25 * (i / max(num_frames - 1, 1) - 0.5)
+        c2w = orbit_c2w_opengl(2.0, az, 0.05, target=(0.0, 0.0, 3.0))
+        # simple image: smooth gradient + noise blocks
+        yy, xx = np.meshgrid(
+            np.linspace(0, 1, height), np.linspace(0, 1, width), indexing="ij"
+        )
+        img = np.stack(
+            [xx, yy, np.full_like(xx, 0.3 + 0.1 * i / num_frames)], axis=-1
+        )
+        img = (img * 255).astype(np.uint8)
+        Image.fromarray(img).save(root / "images" / f"frame_{i:04d}.png")
+        depth_m = 2.0 + 0.5 * xx + 0.25 * yy  # metric depth in meters
+        depth_raw = (depth_m * depth_unit).astype(np.float32)
+        if depth_format == "npy":
+            np.save(root / "depth" / f"frame_{i:04d}.npy", depth_raw)
+            depth_name = f"depth/frame_{i:04d}.npy"
+        else:
+            Image.fromarray(depth_raw.astype(np.uint16)).save(
+                root / "depth" / f"frame_{i:04d}.png"
+            )
+            depth_name = f"depth/frame_{i:04d}.png"
+        frames.append(
+            {
+                "file_path": f"images/frame_{i:04d}.png",
+                "depth_file_path": depth_name,
+                "transform_matrix": c2w.tolist(),
+            }
+        )
+    meta = {
+        "fl_x": f, "fl_y": f,
+        "cx": width / 2.0, "cy": height / 2.0,
+        "w": width, "h": height,
+        "frames": frames,
+    }
+    if with_ply:
+        from qed_splatter_tpu.data.ply import write_ply
+
+        pts = rng.uniform(-1, 1, size=(256, 3)).astype(np.float32)
+        pts[:, 2] += 3.0
+        cols = rng.uniform(0, 1, size=(256, 3)).astype(np.float32)
+        write_ply(root / "sparse_pc.ply", pts, cols)
+        meta["ply_file_path"] = "sparse_pc.ply"
+    with open(root / "transforms.json", "w") as fh:
+        json.dump(meta, fh, indent=2)
+
+
 def orbit_c2w_opengl(
     radius: float, azimuth: float, elevation: float, target=(0.0, 0.0, 3.0)
 ) -> np.ndarray:

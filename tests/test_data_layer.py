@@ -1,0 +1,211 @@
+"""Data layer tests: PLY IO/color semantics, transforms.json parsing,
+datamanager, init-pointcloud tool (SURVEY §4 golden-value items 2-3)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from qed_splatter_tpu.configs import DataConfig
+from qed_splatter_tpu.data.dataset import FullImageDatamanager, load_depth
+from qed_splatter_tpu.data.init_pc import InitPcArgs, main as init_pc_main
+from qed_splatter_tpu.data.ply import PlyData, read_ply, write_ply
+from qed_splatter_tpu.data.transforms_json import (
+    auto_orient_and_center_poses,
+    parse_transforms,
+)
+from qed_splatter_tpu.testing import orbit_c2w_opengl, write_synthetic_dataset
+
+
+# ---------------------------------------------------------------- PLY
+
+
+def test_ply_roundtrip_binary(tmp_path):
+    pts = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
+    cols = np.random.default_rng(1).integers(0, 255, (100, 3)).astype(np.uint8)
+    write_ply(tmp_path / "a.ply", pts, cols)
+    back = read_ply(tmp_path / "a.ply")
+    np.testing.assert_allclose(back.positions, pts, atol=1e-6)
+    np.testing.assert_array_equal(back.colors, cols)
+
+
+def test_ply_float_colors_become_uint8(tmp_path):
+    """Open3D tensor-API float colors in [0,1] -> uint8
+    (reference dataparser.py:58-74 fix)."""
+    pts = np.zeros((4, 3), np.float32)
+    cols = np.array([[0.0, 0.5, 1.0]] * 4, np.float32)
+    write_ply(tmp_path / "f.ply", pts, cols)
+    back = read_ply(tmp_path / "f.ply")
+    np.testing.assert_array_equal(back.colors[0], [0, 127, 255])
+
+
+def test_ply_ascii_read(tmp_path):
+    body = (
+        "ply\nformat ascii 1.0\nelement vertex 2\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n1 2 3 255 0 0\n4 5 6 0 255 0\n"
+    )
+    (tmp_path / "a.ply").write_text(body)
+    p = read_ply(tmp_path / "a.ply")
+    np.testing.assert_allclose(p.positions, [[1, 2, 3], [4, 5, 6]])
+    np.testing.assert_array_equal(p.colors, [[255, 0, 0], [0, 255, 0]])
+
+
+def test_ply_missing_colors_zero(tmp_path):
+    write_ply(tmp_path / "n.ply", np.ones((5, 3), np.float32))
+    p = read_ply(tmp_path / "n.ply")
+    assert p.colors is None
+    np.testing.assert_array_equal(p.colors_uint8(), np.zeros((5, 3), np.uint8))
+
+
+# ------------------------------------------------- pose normalization
+
+
+def test_orient_up_aligns_mean_up():
+    poses = np.stack(
+        [orbit_c2w_opengl(3.0, a, 0.3).astype(np.float64)
+         for a in np.linspace(-0.5, 0.5, 8)]
+    )
+    t = auto_orient_and_center_poses(poses, "up", "poses")
+    new = (np.concatenate([t, [[0, 0, 0, 1]]], 0)[None] @ poses)
+    up = new[:, :3, 1].mean(0)
+    up /= np.linalg.norm(up)
+    np.testing.assert_allclose(up, [0, 0, 1], atol=1e-6)
+    # centered
+    np.testing.assert_allclose(new[:, :3, 3].mean(0), 0.0, atol=1e-8)
+
+
+def test_orient_none_identity():
+    poses = np.stack(
+        [orbit_c2w_opengl(3.0, a, 0.1).astype(np.float64) for a in (0.0, 0.4)]
+    )
+    t = auto_orient_and_center_poses(poses, "none", "none")
+    np.testing.assert_allclose(t, np.eye(4)[:3], atol=1e-12)
+
+
+# ---------------------------------------------------- transforms.json
+
+
+@pytest.fixture()
+def dataset(tmp_path):
+    write_synthetic_dataset(tmp_path, num_frames=6, with_ply=True)
+    return tmp_path
+
+
+def test_parse_transforms_basic(dataset):
+    cfg = DataConfig(data=str(dataset))
+    scene = parse_transforms(cfg)
+    assert len(scene.frames) == 6
+    assert scene.points is not None and scene.points_rgb is not None
+    assert scene.points_rgb.dtype == np.uint8
+    cam = scene.frames[0].camera
+    assert (cam.width, cam.height) == (64, 48)
+    # auto-scale pulls camera origins into the unit box
+    origins = np.stack([f.camera.c2w[:3, 3] for f in scene.frames])
+    assert np.abs(origins).max() <= 1.0 + 1e-5
+
+
+def test_parse_transforms_unscaled_mode(dataset):
+    """The reference's unscaled-scene switches (dataparser.py:16-18)."""
+    cfg = DataConfig(
+        data=str(dataset), auto_scale_poses=False,
+        center_method="none", orientation_method="none",
+    )
+    scene = parse_transforms(cfg)
+    assert scene.scale_factor == 1.0
+    with open(dataset / "transforms.json") as f:
+        raw = json.load(f)
+    orig = np.array(raw["frames"][0]["transform_matrix"])[:3, 3]
+    np.testing.assert_allclose(scene.frames[0].camera.c2w[:3, 3], orig,
+                               atol=1e-6)
+
+
+def test_split_fraction(dataset):
+    cfg = DataConfig(data=str(dataset), train_split_fraction=0.5)
+    scene = parse_transforms(cfg)
+    assert len(scene.train_indices) == 3
+    assert len(scene.eval_indices) == 3
+    assert not set(scene.train_indices) & set(scene.eval_indices)
+
+
+def test_split_interval(dataset):
+    cfg = DataConfig(data=str(dataset), eval_mode="interval", eval_interval=3)
+    scene = parse_transforms(cfg)
+    assert list(scene.eval_indices) == [0, 3]
+    assert len(scene.train_indices) == 4
+
+
+# --------------------------------------------------------- datamanager
+
+
+def test_datamanager_batches(dataset):
+    cfg = DataConfig(data=str(dataset))
+    dm = FullImageDatamanager(cfg)
+    seen = set()
+    for step in range(dm.num_train):
+        item = dm.next_train(step)
+        seen.add(item["cam_idx"])
+        assert item["image"].dtype == np.uint8
+        assert item["image"].shape == (48, 64, 3)
+        d = item["depth_image"]
+        assert d.shape == (48, 64, 1) and d.dtype == np.float32
+        # depth scaled mm -> m then by pose scale factor
+        raw = load_depth(
+            dm.scene.frames[item["cam_idx"]].depth_path
+        )
+        np.testing.assert_allclose(
+            d[..., 0], raw * 0.001 * dm.scene.scale_factor, rtol=1e-5
+        )
+    assert seen == set(dm.scene.train_indices)  # epoch covers all cameras
+
+
+# ------------------------------------------------------------ init tool
+
+
+def test_init_pc_backproject_and_colorize(tmp_path):
+    write_synthetic_dataset(tmp_path, num_frames=4, with_ply=False)
+    args = InitPcArgs(
+        data=str(tmp_path), stride=2, frame_voxel_size=0.05, voxel_size=0.05
+    )
+    out = init_pc_main(args, log=lambda *a: None)
+    assert out.exists()
+    pc = read_ply(out)
+    assert len(pc) > 100
+    # points should live around the synthetic depth surface (z in [2, 2.8]
+    # along each camera ray; world z near 3-ish region)
+    assert np.isfinite(pc.positions).all()
+    # transforms.json updated (reference :509-510)
+    with open(tmp_path / "transforms.json") as f:
+        meta = json.load(f)
+    assert meta["ply_file_path"] == "sparse_pc.ply"
+
+    # resume: rerun reuses cache without error
+    out2 = init_pc_main(args, log=lambda *a: None)
+    assert out2 == out
+
+    # colorize mode
+    args2 = InitPcArgs(data=str(tmp_path), colorize=True)
+    out3 = init_pc_main(args2, log=lambda *a: None)
+    pc3 = read_ply(out3)
+    assert pc3.colors is not None
+    assert (pc3.colors.sum(-1) > 0).mean() > 0.5  # most points got color
+
+
+def test_backproject_geometry(tmp_path):
+    """Backprojected points must reproject onto the depth surface."""
+    import jax.numpy as jnp
+
+    from qed_splatter_tpu.ops.backproject import backproject_depth
+
+    h, w, f = 24, 32, 40.0
+    depth = np.full((h, w), 2.0, np.float32)
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    pts, valid = backproject_depth(jnp.asarray(depth), K, c2w, 100.0, stride=1)
+    pts = np.asarray(pts)[np.asarray(valid)]
+    assert len(pts) == h * w
+    np.testing.assert_allclose(pts[:, 2], 2.0, atol=1e-5)
+    # central pixel maps near optical axis
+    center = pts[(h // 2) * w + w // 2]
+    assert abs(center[0]) < 0.1 and abs(center[1]) < 0.1
