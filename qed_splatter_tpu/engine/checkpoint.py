@@ -1,0 +1,120 @@
+"""Checkpoint / resume via Orbax (SURVEY D13 / §5 checkpoint-resume).
+
+The reference writes ``step-XXXXXXXXX.ckpt`` torch pickles with
+*variable-size* gaussian tensors every ``steps_per_save=2000`` steps
+(reference config.py:29). The TPU design's fixed-capacity buffers make
+checkpoints fixed-shape Orbax pytrees (SURVEY §5): the whole TrainState
+(params + Adam moments + camera-opt + densify stats + step) round-trips
+losslessly, and `export_ply` emits the alive gaussians for interchange.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from qed_splatter_tpu.engine.train_step import TrainState
+from qed_splatter_tpu.models.gaussians import GaussianParams, sh_dc_to_rgb
+
+
+def save_checkpoint(ckpt_dir, state: TrainState, step: int) -> Path:
+    ckpt_dir = Path(ckpt_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / f"step-{step:09d}"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    (ckpt_dir / "latest.json").write_text(
+        json.dumps({"step": step, "path": path.name})
+    )
+    return path
+
+
+def latest_checkpoint(ckpt_dir) -> Optional[Path]:
+    ckpt_dir = Path(ckpt_dir)
+    meta = ckpt_dir / "latest.json"
+    if meta.exists():
+        info = json.loads(meta.read_text())
+        p = ckpt_dir / info["path"]
+        if p.exists():
+            return p
+    candidates = sorted(ckpt_dir.glob("step-*"))
+    return candidates[-1] if candidates else None
+
+
+def restore_checkpoint(path, template: TrainState) -> TrainState:
+    """Restore into the shapes/dtypes of ``template`` (same capacity)."""
+    ckptr = ocp.StandardCheckpointer()
+    target = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "shape") else x,
+        template,
+    )
+    return ckptr.restore(Path(path).absolute(), target)
+
+
+def export_ply(path, params: GaussianParams) -> int:
+    """Write alive gaussians as a 3DGS-interchange PLY (positions, normals=0,
+    SH features, opacity, scales, quats) readable by standard splat viewers."""
+    alive = np.asarray(params.alive)
+    idx = np.flatnonzero(alive)
+    n = len(idx)
+    means = np.asarray(params.means)[idx]
+    dc = np.asarray(params.features_dc)[idx]          # [n, 3]
+    rest = np.asarray(params.features_rest)[idx]      # [n, K-1, 3]
+    opac = np.asarray(params.opacities)[idx]
+    scales = np.asarray(params.scales)[idx]
+    quats = np.asarray(params.quats)[idx]
+
+    props = [("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+             ("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")]
+    props += [(f"f_dc_{i}", "<f4") for i in range(3)]
+    n_rest = rest.shape[1] * 3
+    props += [(f"f_rest_{i}", "<f4") for i in range(n_rest)]
+    props += [("opacity", "<f4")]
+    props += [(f"scale_{i}", "<f4") for i in range(3)]
+    props += [(f"rot_{i}", "<f4") for i in range(4)]
+
+    rec = np.zeros(n, dtype=np.dtype(props))
+    rec["x"], rec["y"], rec["z"] = means.T
+    for i in range(3):
+        rec[f"f_dc_{i}"] = dc[:, i]
+    # 3DGS layout: channel-major (all coeffs of R, then G, then B)
+    rest_cm = rest.transpose(0, 2, 1).reshape(n, -1)
+    for i in range(n_rest):
+        rec[f"f_rest_{i}"] = rest_cm[:, i]
+    rec["opacity"] = opac
+    for i in range(3):
+        rec[f"scale_{i}"] = scales[:, i]
+    for i in range(4):
+        rec[f"rot_{i}"] = quats[:, i]
+
+    header = "\n".join(
+        ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
+        + [f"property float {name}" for name, _ in props]
+        + ["end_header", ""]
+    )
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(rec.tobytes())
+    return n
+
+
+def export_pointcloud_ply(path, params: GaussianParams) -> int:
+    """Write alive gaussian centers + dc colors as a plain xyz/rgb PLY
+    (for PDMetrics accuracy/completeness eval)."""
+    from qed_splatter_tpu.data.ply import write_ply
+
+    alive = np.asarray(params.alive)
+    idx = np.flatnonzero(alive)
+    means = np.asarray(params.means)[idx]
+    rgb = np.clip(np.asarray(sh_dc_to_rgb(params.features_dc))[idx], 0, 1)
+    write_ply(path, means, rgb)
+    return len(idx)

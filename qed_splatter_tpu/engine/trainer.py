@@ -1,0 +1,327 @@
+"""The Trainer: setup + hot loop + eval cadence + checkpoints.
+
+Rebuilds SURVEY D6 (nerfstudio ``Trainer``) around the jitted train step:
+step loop to ``max_num_iterations=30000`` with eval image / full eval /
+checkpoint cadences from reference config.py:27-31, the coarse-to-fine
+resolution schedule (splatfacto ``_get_downscale_factor``, reference
+model.py:129, 244), densify/cull callbacks every ``refine_every`` steps
+after warmup (SURVEY D8), and host-side capacity growth (a bounded number
+of recompiles replaces torch's dynamic tensor growth).
+
+XLA-compile awareness: train steps are compiled once per (W, H, depth/mask)
+bucket — the resolution schedule visits ``num_downscales + 1`` buckets.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qed_splatter_tpu.configs import TrainerConfig
+from qed_splatter_tpu.data.dataset import FullImageDatamanager
+from qed_splatter_tpu.engine import checkpoint as ckpt
+from qed_splatter_tpu.engine.densify import (
+    maybe_reset_opacities,
+    refine,
+)
+from qed_splatter_tpu.engine.optim import GroupOptimizers
+from qed_splatter_tpu.engine.train_step import (
+    TrainState,
+    init_train_state,
+    make_train_step,
+)
+from qed_splatter_tpu.engine.writer import MetricsWriter
+from qed_splatter_tpu.metrics import RGBMetrics, avg_min_scale, full_eval_metrics
+from qed_splatter_tpu.models.gaussians import (
+    grow_capacity,
+    init_from_points,
+    init_random,
+)
+from qed_splatter_tpu.models.splatfacto import render
+
+
+def downscale_image(img: np.ndarray, d: int) -> np.ndarray:
+    """Box-average downscale by integer factor (splatfacto resize_image)."""
+    if d <= 1:
+        return img
+    h, w = img.shape[:2]
+    hh, ww = h // d, w // d
+    img = img[: hh * d, : ww * d]
+    img = img.reshape(hh, d, ww, d, -1).astype(np.float32).mean(axis=(1, 3))
+    return img
+
+
+def downscale_depth(depth: np.ndarray, d: int) -> np.ndarray:
+    """Nearest-sample downscale: metric depth must not blend across edges
+    (deviation from the reference's bilinear resize, which bleeds invalid
+    zeros into valid pixels)."""
+    if d <= 1:
+        return depth
+    return depth[d // 2 :: d, d // 2 :: d][
+        : depth.shape[0] // d, : depth.shape[1] // d
+    ]
+
+
+class Trainer:
+    def __init__(self, config: TrainerConfig,
+                 datamanager: Optional[FullImageDatamanager] = None):
+        self.config = config
+        self.cfg = config.model
+        self.dm = datamanager or FullImageDatamanager(
+            config.data, seed=config.seed
+        )
+        self.optims = GroupOptimizers(config.optimizers)
+        out_root = Path(config.output_dir)
+        name = config.experiment_name or "qed-splatter"
+        self.run_dir = out_root / name
+        self.writer = MetricsWriter(
+            self.run_dir,
+            use_tensorboard=(config.vis == "tensorboard"),
+            console_every=config.log_every,
+        )
+        self.rgb_metrics = RGBMetrics()
+        self._step_fns: Dict[Tuple, object] = {}
+        self._refine_jit = jax.jit(
+            refine,
+            static_argnames=(
+                "cfg", "num_train_data", "max_hw", "max_new_per_refine"
+            ),
+            donate_argnums=(0, 1, 2),
+        )
+        self._reset_jit = jax.jit(
+            maybe_reset_opacities, static_argnames=("cfg",),
+            donate_argnums=(0, 1),
+        )
+        self.state = self._setup_state()
+
+    # ------------------------------------------------------------ setup
+
+    def _setup_state(self) -> TrainState:
+        scene = self.dm.scene
+        if scene.points is not None and not self.cfg.random_init:
+            params = init_from_points(
+                scene.points,
+                scene.points_rgb,
+                sh_degree=self.cfg.sh_degree,
+                capacity_headroom=self.cfg.init_capacity_headroom,
+                seed=self.config.seed,
+            )
+        else:
+            params = init_random(
+                num_points=self.cfg.num_random,
+                random_scale=self.cfg.random_scale,
+                sh_degree=self.cfg.sh_degree,
+                capacity_headroom=self.cfg.init_capacity_headroom,
+                seed=self.config.seed,
+            )
+        state = init_train_state(
+            params, self.optims, num_cameras=len(scene.frames)
+        )
+        if self.config.load_dir:
+            latest = ckpt.latest_checkpoint(self.config.load_dir)
+            if latest is not None:
+                state = ckpt.restore_checkpoint(latest, state)
+                print(f"Resumed from {latest} at step {int(state.step)}")
+        return state
+
+    # ------------------------------------------------------- step plumbing
+
+    def _downscale_factor(self, step: int) -> int:
+        """2^max(num_downscales - step // schedule, 0) (splatfacto)."""
+        return 2 ** max(
+            self.cfg.num_downscales - step // self.cfg.resolution_schedule, 0
+        )
+
+    def _get_step_fn(self, width, height, has_depth, has_mask, capacity):
+        key = (width, height, has_depth, has_mask, capacity)
+        if key not in self._step_fns:
+            self._step_fns[key] = make_train_step(
+                self.cfg, self.optims, width, height,
+                has_depth=has_depth, has_mask=has_mask,
+            )
+        return self._step_fns[key]
+
+    def _prepare_batch(self, item: Dict, d: int):
+        cam = item["camera"].rescaled(1.0 / d) if d > 1 else item["camera"]
+        rgb = downscale_image(item["image"], d)
+        rgb = np.asarray(rgb, np.float32) / 255.0
+        batch = dict(
+            c2w=jnp.asarray(cam.c2w),
+            K=jnp.asarray(cam.intrinsics_matrix()),
+            cam_idx=jnp.asarray(item["cam_idx"], jnp.int32),
+            rgb=jnp.asarray(rgb),
+        )
+        has_depth = "depth_image" in item
+        if has_depth:
+            batch["depth"] = jnp.asarray(
+                downscale_depth(item["depth_image"], d)
+            )
+        has_mask = "mask" in item
+        if has_mask:
+            m = downscale_image(item["mask"] * 255.0, d) / 255.0
+            batch["mask"] = jnp.asarray((m > 0.5).astype(np.float32))
+        return batch, cam, has_depth, has_mask
+
+    def _maybe_grow(self) -> None:
+        params = self.state.params
+        n_alive = int(params.num_alive())
+        cap = params.capacity
+        if n_alive > 0.85 * cap and cap < self.cfg.max_capacity:
+            new_cap = min(cap * 2, self.cfg.max_capacity)
+            print(f"Growing gaussian capacity {cap} -> {new_cap}")
+            grown = grow_capacity(params, new_cap)
+
+            def pad_opt(x, ref_shape):
+                if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == cap:
+                    pad = [(0, new_cap - cap)] + [(0, 0)] * (x.ndim - 1)
+                    return jnp.pad(x, pad)
+                return x
+
+            opt_state = jax.tree.map(lambda x: pad_opt(x, None),
+                                     self.state.opt_state)
+            stats = jax.tree.map(lambda x: pad_opt(x, None), self.state.stats)
+            self.state = self.state.replace(
+                params=grown, opt_state=opt_state, stats=stats
+            )
+
+    # ------------------------------------------------------------- train
+
+    def train(self, max_steps: Optional[int] = None) -> TrainState:
+        cfgt = self.config
+        total = max_steps or cfgt.max_num_iterations
+        key = jax.random.PRNGKey(cfgt.seed)
+        start_step = int(self.state.step)
+        t0 = time.perf_counter()
+        for step in range(start_step, total):
+            item = self.dm.next_train(step)
+            d = self._downscale_factor(step)
+            batch, cam, has_depth, has_mask = self._prepare_batch(item, d)
+            step_fn = self._get_step_fn(
+                cam.width, cam.height, has_depth, has_mask,
+                self.state.params.capacity,
+            )
+            key, sub = jax.random.split(key)
+            self.state, metrics = step_fn(self.state, batch, sub)
+            cur = step + 1
+
+            if cur % cfgt.log_every == 0:
+                self.writer.write(cur, metrics, prefix="train")
+
+            # refinement callbacks (SURVEY D8)
+            if (
+                cur > self.cfg.warmup_length
+                and cur % self.cfg.refine_every == 0
+            ):
+                self._maybe_grow()
+                key, sub = jax.random.split(key)
+                params, opt_state, stats, info = self._refine_jit(
+                    self.state.params, self.state.opt_state, self.state.stats,
+                    self.state.step, sub, self.cfg,
+                    num_train_data=self.dm.num_train,
+                    max_hw=max(cam.width, cam.height),
+                )
+                params, opt_state = self._reset_jit(
+                    params, opt_state, self.state.step, self.cfg
+                )
+                self.state = self.state.replace(
+                    params=params, opt_state=opt_state, stats=stats
+                )
+                self.writer.write(
+                    cur,
+                    {
+                        "n_alive": info.n_alive,
+                        "n_culled": info.n_culled,
+                        "n_split": info.n_split,
+                        "n_dup": info.n_dup,
+                        "n_dropped": info.n_dropped,
+                    },
+                    prefix="refine",
+                )
+
+            if cfgt.steps_per_eval_image and cur % cfgt.steps_per_eval_image == 0:
+                self.eval_image(cur)
+            if (
+                cfgt.steps_per_eval_all_images
+                and cur % cfgt.steps_per_eval_all_images == 0
+            ):
+                self.eval_all(cur)
+            if cfgt.steps_per_save and cur % cfgt.steps_per_save == 0:
+                ckpt.save_checkpoint(self.run_dir / "ckpts", self.state, cur)
+
+        wall = time.perf_counter() - t0
+        done = total - start_step
+        if done > 0:
+            print(
+                f"Trained {done} steps in {wall:.1f}s "
+                f"({done / max(wall, 1e-9):.2f} iters/s)"
+            )
+        ckpt.save_checkpoint(self.run_dir / "ckpts", self.state, total)
+        ckpt.export_ply(self.run_dir / "splat.ply", self.state.params)
+        return self.state
+
+    # -------------------------------------------------------------- eval
+
+    def _render_eval(self, item: Dict, d: int = 1):
+        cam = item["camera"].rescaled(1.0 / d) if d > 1 else item["camera"]
+        out = render(
+            self.state.params,
+            jnp.asarray(cam.c2w),
+            jnp.asarray(cam.intrinsics_matrix()),
+            cam.width, cam.height, self.cfg,
+            step=self.state.step, train=False,
+        )
+        return out, cam
+
+    def eval_image(self, step: int) -> Dict:
+        idx = self.dm.scene.eval_indices[
+            step // max(self.config.steps_per_eval_image, 1)
+            % max(self.dm.num_eval, 1)
+        ]
+        item = self.dm.get_item(int(idx))
+        d = self._downscale_factor(step)
+        out, cam = self._render_eval(item, d)
+        gt = jnp.asarray(
+            np.asarray(downscale_image(item["image"], d), np.float32) / 255.0
+        )
+        gt_depth = (
+            jnp.asarray(downscale_depth(item["depth_image"], d))
+            if "depth_image" in item else None
+        )
+        metrics = full_eval_metrics(
+            out.rgb, gt, out.depth, gt_depth,
+            rgb_metrics=self.rgb_metrics,
+            gaussian_count=int(self.state.params.num_alive()),
+            avg_min_scale=float(
+                avg_min_scale(self.state.params.scales, self.state.params.alive)
+            ),
+        )
+        self.writer.write(step, metrics, prefix="eval", force_console=True)
+        return metrics
+
+    def eval_all(self, step: int) -> Dict:
+        all_metrics = []
+        for item in self.dm.eval_items():
+            out, cam = self._render_eval(item)
+            gt = jnp.asarray(np.asarray(item["image"], np.float32) / 255.0)
+            gt_depth = (
+                jnp.asarray(item["depth_image"])
+                if "depth_image" in item else None
+            )
+            all_metrics.append(
+                full_eval_metrics(
+                    out.rgb, gt, out.depth, gt_depth,
+                    rgb_metrics=self.rgb_metrics,
+                )
+            )
+        agg = {
+            k: float(np.nanmean([m[k] for m in all_metrics]))
+            for k in all_metrics[0]
+        }
+        agg["gaussian_count"] = int(self.state.params.num_alive())
+        self.writer.write(step, agg, prefix="eval_all", force_console=True)
+        return agg

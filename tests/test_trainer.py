@@ -1,0 +1,122 @@
+"""Trainer loop integration: short run on a synthetic dataset, eval cadence,
+checkpoint save/restore-resume, CLI flag plumbing (SURVEY §4.3)."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from qed_splatter_tpu.cli import build_trainer_config
+from qed_splatter_tpu.configs import DataConfig, ModelConfig, TrainerConfig
+from qed_splatter_tpu.engine import checkpoint as ckpt
+from qed_splatter_tpu.engine.trainer import Trainer, downscale_image
+from qed_splatter_tpu.testing import write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scene")
+    write_synthetic_dataset(root, num_frames=5, width=64, height=48,
+                            with_ply=True)
+    return root
+
+
+def _tiny_config(dataset, tmp_path, **kw) -> TrainerConfig:
+    model = ModelConfig(
+        camera_opt_mode="off",
+        max_per_tile=64,
+        num_downscales=1,
+        resolution_schedule=20,
+        warmup_length=10,
+        refine_every=10,
+        init_capacity_headroom=1.2,
+        **kw.pop("model_kw", {}),
+    )
+    return TrainerConfig(
+        max_num_iterations=40,
+        steps_per_eval_image=20,
+        steps_per_eval_all_images=40,
+        steps_per_save=20,
+        log_every=10,
+        output_dir=str(tmp_path),
+        data=DataConfig(data=str(dataset)),
+        model=model,
+        **kw,
+    )
+
+
+def test_trainer_short_run(dataset, tmp_path):
+    cfg = _tiny_config(dataset, tmp_path)
+    trainer = Trainer(cfg)
+    state = trainer.train()
+    assert int(state.step) == 40
+    # metrics written
+    lines = [
+        json.loads(l)
+        for l in open(trainer.run_dir / "metrics.jsonl")
+    ]
+    splits = {l["split"] for l in lines}
+    assert {"train", "eval", "eval_all", "refine"} <= splits
+    train_lines = [l for l in lines if l["split"] == "train"]
+    assert np.isfinite(train_lines[-1]["loss"])
+    # checkpoints + splat export exist
+    assert ckpt.latest_checkpoint(trainer.run_dir / "ckpts") is not None
+    assert (trainer.run_dir / "splat.ply").exists()
+    # resolution schedule: first steps at half res, later at full res
+    # (num_downscales=1, schedule=20 -> d=2 before step 20, d=1 after)
+    assert trainer._downscale_factor(0) == 2
+    assert trainer._downscale_factor(39) == 1
+
+
+def test_trainer_resume(dataset, tmp_path):
+    cfg = _tiny_config(dataset, tmp_path)
+    t1 = Trainer(cfg)
+    s1 = t1.train(max_steps=20)
+    ckpt_dir = t1.run_dir / "ckpts"
+
+    cfg2 = dataclasses.replace(cfg, load_dir=str(ckpt_dir))
+    t2 = Trainer(cfg2)
+    assert int(t2.state.step) == 20
+    np.testing.assert_allclose(
+        np.asarray(t2.state.params.means), np.asarray(s1.params.means)
+    )
+    s2 = t2.train(max_steps=30)
+    assert int(s2.step) == 30
+
+
+def test_downscale_image_box_mean():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    out = downscale_image(img, 2)
+    assert out.shape == (2, 2, 1)
+    np.testing.assert_allclose(out[0, 0, 0], np.mean([0, 1, 4, 5]))
+
+
+def test_cli_config_overrides():
+    cfg = build_trainer_config(
+        [
+            "--data", "/tmp/x",
+            "--max-num-iterations", "123",
+            "--model.depth-lambda", "0.3",
+            "--model.rasterize-mode", "antialiased",
+            "--no-model.output-depth-during-training",
+            "--data.eval-mode", "interval",
+            "--vis", "none",
+        ]
+    )
+    assert cfg.data.data == "/tmp/x"
+    assert cfg.max_num_iterations == 123
+    assert cfg.model.depth_lambda == 0.3
+    assert cfg.model.rasterize_mode == "antialiased"
+    assert cfg.model.output_depth_during_training is False
+    assert cfg.data.eval_mode == "interval"
+    # untouched defaults stay at reference values
+    assert cfg.model.cull_alpha_thresh == 0.005
+    assert cfg.model.densify_grad_thresh == 0.0005
+
+
+def test_cli_unknown_command():
+    from qed_splatter_tpu.cli import main
+
+    assert main(["frobnicate"]) == 2
+    assert main([]) == 2
