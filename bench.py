@@ -1,0 +1,112 @@
+"""Benchmark: full training-step throughput on the available accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the complete per-iteration "solve" (project -> SH -> bin ->
+rasterize -> photometric+depth loss -> adjoint -> per-group Adam) on a
+flagship-ish scene: 100k-capacity gaussians (80k alive), one 1297x840
+camera per step, RGB+D render with absgrad — the workload shape of
+BASELINE.json config #2 (nerfstudio-scene class).
+
+vs_baseline: the reference stack (splatfacto + gsplat CUDA) trains
+nerfstudio scenes at roughly 30 train iters/s on an A100-class GPU at this
+resolution (gsplat paper scale, BASELINE.md context row). vs_baseline =
+measured_iters_per_s / 30.0.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from qed_splatter_tpu.configs import ModelConfig, default_optimizers
+    from qed_splatter_tpu.engine.optim import GroupOptimizers
+    from qed_splatter_tpu.engine.train_step import (
+        init_train_state,
+        make_train_step,
+    )
+    from qed_splatter_tpu.models.gaussians import init_from_points
+    from qed_splatter_tpu.testing import orbit_c2w_opengl
+
+    width, height = 1296, 840
+    capacity, n_alive = 131_072, 80_000
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1.2, 1.2, (n_alive, 3)).astype(np.float32)
+    pts[:, 2] = pts[:, 2] * 0.7 + 3.0
+    rgb = (rng.uniform(0, 1, (n_alive, 3)) * 255).astype(np.uint8)
+    params = init_from_points(pts, rgb, capacity=capacity)
+
+    cfg = ModelConfig(
+        camera_opt_mode="SO3xR3",
+        max_per_tile=256,
+        background_color="random",
+    )
+    optims = GroupOptimizers(default_optimizers())
+    state = init_train_state(params, optims, num_cameras=4)
+    step_fn = make_train_step(cfg, optims, width, height, has_depth=True)
+
+    f = 0.85 * max(width, height)
+    K = jnp.asarray(
+        np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]],
+                 np.float32)
+    )
+    cams = [orbit_c2w_opengl(3.0, 0.15 * i, 0.1, (0, 0, 3.0))
+            for i in range(4)]
+    gt_rgb = jnp.asarray(
+        rng.uniform(0, 1, (height, width, 3)).astype(np.float32)
+    )
+    gt_depth = jnp.asarray(
+        rng.uniform(0.5, 4.0, (height, width, 1)).astype(np.float32)
+    )
+
+    def batch(i):
+        return dict(
+            c2w=jnp.asarray(cams[i % 4]),
+            K=K,
+            cam_idx=jnp.asarray(i % 4, jnp.int32),
+            rgb=gt_rgb,
+            depth=gt_depth,
+        )
+
+    key = jax.random.PRNGKey(0)
+    # warmup/compile
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch(i), sub)
+    jax.block_until_ready(metrics["loss"])
+
+    n_timed = 20
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch(i), sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    iters_per_s = n_timed / dt
+    mpix_per_s = iters_per_s * width * height / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "train_iters_per_s_1296x840_80k_gaussians",
+                "value": round(iters_per_s, 3),
+                "unit": "iters/s",
+                "vs_baseline": round(iters_per_s / 30.0, 3),
+                "extra": {
+                    "rasterized_mpix_per_s": round(mpix_per_s, 2),
+                    "device": str(jax.devices()[0]),
+                    "loss_finite": bool(np.isfinite(float(metrics["loss"]))),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

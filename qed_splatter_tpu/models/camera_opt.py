@@ -12,8 +12,12 @@ import jax.numpy as jnp
 
 
 def exp_so3(omega: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues exponential map so(3) -> SO(3). omega: [..., 3] -> [..., 3, 3]."""
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)[..., None]  # [...,1,1]
+    """Rodrigues exponential map so(3) -> SO(3). omega: [..., 3] -> [..., 3, 3].
+
+    Gradient-safe at omega = 0 (where every camera delta starts): the
+    non-Taylor branch is evaluated at a clamped-safe theta so the untaken
+    0/0 never poisons the vjp (the where-NaN-grad trap).
+    """
     wx, wy, wz = omega[..., 0], omega[..., 1], omega[..., 2]
     zeros = jnp.zeros_like(wx)
     K = jnp.stack(
@@ -25,10 +29,12 @@ def exp_so3(omega: jnp.ndarray) -> jnp.ndarray:
         axis=-2,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)
-    theta_sq = jnp.maximum(theta * theta, 1e-24)
-    # Taylor-safe coefficients sin(t)/t and (1-cos(t))/t^2
-    a = jnp.where(theta < 1e-6, 1.0 - theta_sq / 6.0, jnp.sin(theta) / jnp.sqrt(theta_sq))
-    b = jnp.where(theta < 1e-6, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / theta_sq)
+    theta_sq = jnp.sum(omega * omega, axis=-1)[..., None, None]
+    small = theta_sq < 1e-12
+    safe_sq = jnp.where(small, 1.0, theta_sq)  # keeps untaken branch finite
+    theta = jnp.sqrt(safe_sq)
+    a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / safe_sq)
     return eye + a * K + b * (K @ K)
 
 
@@ -56,6 +62,8 @@ def camera_opt_regularizer(delta: jnp.ndarray,
                            rot_penalty: float = 1e-3) -> jnp.ndarray:
     """Mean-norm penalty keeping pose deltas small (nerfstudio's
     ``camera_opt_regularizer``); scalar."""
-    t = jnp.linalg.norm(delta[..., :3], axis=-1).mean()
-    r = jnp.linalg.norm(delta[..., 3:], axis=-1).mean()
+    # sqrt(x^2 + eps): plain norm has a NaN gradient at the zero deltas
+    # every camera starts from
+    t = jnp.sqrt(jnp.sum(delta[..., :3] ** 2, axis=-1) + 1e-12).mean()
+    r = jnp.sqrt(jnp.sum(delta[..., 3:] ** 2, axis=-1) + 1e-12).mean()
     return trans_penalty * t + rot_penalty * r
