@@ -3,10 +3,15 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measures the complete per-iteration "solve" (project -> SH -> bin ->
-rasterize -> photometric+depth loss -> adjoint -> per-group Adam) on a
-flagship-ish scene: 100k-capacity gaussians (80k alive), one 1297x840
-camera per step, RGB+D render with absgrad — the workload shape of
-BASELINE.json config #2 (nerfstudio-scene class).
+rasterize (Pallas on TPU) -> photometric+depth loss -> analytic adjoint ->
+per-group Adam + absgrad stats) on a flagship-ish scene: 131k-capacity
+gaussians (80k alive), one 1296x840 camera per step, RGB+D render — the
+workload shape of BASELINE.json config #2 (nerfstudio-scene class).
+
+Timing methodology: N steps inside ONE jitted lax.fori_loop (state threaded
+through), wall time of the single dispatch / N. Host-side per-call timing
+through the tunneled TPU backend is unreliable in both directions (async
+dispatch under-reports; per-call input re-upload over-reports by 10-100x).
 
 vs_baseline: the reference stack (splatfacto + gsplat CUDA) trains
 nerfstudio scenes at roughly 30 train iters/s on an A100-class GPU at this
@@ -49,45 +54,51 @@ def main() -> None:
     )
     optims = GroupOptimizers(default_optimizers())
     state = init_train_state(params, optims, num_cameras=4)
-    step_fn = make_train_step(cfg, optims, width, height, has_depth=True)
+    step_jitted = make_train_step(cfg, optims, width, height, has_depth=True)
+    inner = step_jitted.__wrapped__  # raw fn; we re-jit around the loop
 
     f = 0.85 * max(width, height)
     K = jnp.asarray(
         np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]],
                  np.float32)
     )
-    cams = [orbit_c2w_opengl(3.0, 0.15 * i, 0.1, (0, 0, 3.0))
-            for i in range(4)]
+    c2w = jnp.asarray(orbit_c2w_opengl(3.0, 0.15, 0.1, (0, 0, 3.0)))
     gt_rgb = jnp.asarray(
         rng.uniform(0, 1, (height, width, 3)).astype(np.float32)
     )
     gt_depth = jnp.asarray(
         rng.uniform(0.5, 4.0, (height, width, 1)).astype(np.float32)
     )
-
-    def batch(i):
-        return dict(
-            c2w=jnp.asarray(cams[i % 4]),
-            K=K,
-            cam_idx=jnp.asarray(i % 4, jnp.int32),
-            rgb=gt_rgb,
-            depth=gt_depth,
-        )
-
-    key = jax.random.PRNGKey(0)
-    # warmup/compile
-    for i in range(3):
-        key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, batch(i), sub)
-    jax.block_until_ready(metrics["loss"])
+    batch = dict(
+        c2w=c2w, K=K, cam_idx=jnp.asarray(0, jnp.int32),
+        rgb=gt_rgb, depth=gt_depth,
+    )
 
     n_timed = 20
+
+    @jax.jit
+    def loop(state, rng_key):
+        def body(i, carry):
+            st, key = carry
+            key, sub = jax.random.split(key)
+            st, _ = inner(st, batch, sub)
+            return (st, key)
+
+        return jax.lax.fori_loop(0, n_timed, body, (state, rng_key))
+
+    # warmup/compile
+    state, key = loop(state, jax.random.PRNGKey(0))
+    _ = int(jax.device_get(state.step))
+
     t0 = time.perf_counter()
-    for i in range(n_timed):
-        key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, batch(i), sub)
-    jax.block_until_ready(metrics["loss"])
+    state, key = loop(state, key)
+    final_step = int(jax.device_get(state.step))
     dt = time.perf_counter() - t0
+    assert final_step == 2 * n_timed
+
+    # loss sanity from one eager step
+    _, metrics = step_jitted(state, batch, key)
+    loss = float(jax.device_get(metrics["loss"]))
 
     iters_per_s = n_timed / dt
     mpix_per_s = iters_per_s * width * height / 1e6
@@ -101,7 +112,7 @@ def main() -> None:
                 "extra": {
                     "rasterized_mpix_per_s": round(mpix_per_s, 2),
                     "device": str(jax.devices()[0]),
-                    "loss_finite": bool(np.isfinite(float(metrics["loss"]))),
+                    "loss_finite": bool(np.isfinite(loss)),
                 },
             }
         )

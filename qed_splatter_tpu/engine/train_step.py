@@ -73,8 +73,14 @@ def make_train_step(
     has_depth: bool,
     has_mask: bool = False,
     camera_opt_on: Optional[bool] = None,
+    need_absgrad: bool = True,
 ):
-    """Build a jit-ready step for one (width, height) bucket."""
+    """Build a jit-ready step for one (width, height) bucket.
+
+    ``need_absgrad=False`` drops the tile_eps gradient channel and the
+    absgrad scatter (~20 ms/step at 1296x840) — only lawful after
+    densification ends (step >= stop_split_at), when the stats are unused.
+    """
     if camera_opt_on is None:
         camera_opt_on = cfg.camera_opt_mode != "off"
     ts = cfg.tile_size
@@ -108,15 +114,28 @@ def make_train_step(
                 loss = loss + reg
             return loss, (losses, out)
 
-        tile_eps = jnp.zeros((num_tiles, k, 2), jnp.float32)
-        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
-        (loss, (losses, out)), (g_params, g_cam, g_eps) = grad_fn(
-            state.params.trainable_dict(), state.camera_opt, tile_eps
-        )
-
-        # absgrad densification statistics (reference model.py:289-292)
-        absg = absgrad_scatter(g_eps, out.tile_lists, state.params.capacity)
-        stats = accumulate_stats(state.stats, absg, out.radii, max_hw)
+        if need_absgrad:
+            tile_eps = jnp.zeros((num_tiles, k, 2), jnp.float32)
+            grad_fn = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True
+            )
+            (loss, (losses, out)), (g_params, g_cam, g_eps) = grad_fn(
+                state.params.trainable_dict(), state.camera_opt, tile_eps
+            )
+            # absgrad densification statistics (reference model.py:289-292)
+            absg = absgrad_scatter(
+                g_eps, out.tile_lists, state.params.capacity
+            )
+            stats = accumulate_stats(state.stats, absg, out.radii, max_hw)
+        else:
+            grad_fn = jax.value_and_grad(
+                lambda g, c: loss_fn(g, c, None), argnums=(0, 1),
+                has_aux=True,
+            )
+            (loss, (losses, out)), (g_params, g_cam) = grad_fn(
+                state.params.trainable_dict(), state.camera_opt
+            )
+            stats = state.stats
 
         # per-group Adam (reference config.py:44-81)
         new_gparams, new_opt = optims.update(

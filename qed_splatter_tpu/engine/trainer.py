@@ -137,12 +137,14 @@ class Trainer:
             self.cfg.num_downscales - step // self.cfg.resolution_schedule, 0
         )
 
-    def _get_step_fn(self, width, height, has_depth, has_mask, capacity):
-        key = (width, height, has_depth, has_mask, capacity)
+    def _get_step_fn(self, width, height, has_depth, has_mask, capacity,
+                     need_absgrad=True):
+        key = (width, height, has_depth, has_mask, capacity, need_absgrad)
         if key not in self._step_fns:
             self._step_fns[key] = make_train_step(
                 self.cfg, self.optims, width, height,
                 has_depth=has_depth, has_mask=has_mask,
+                need_absgrad=need_absgrad,
             )
         return self._step_fns[key]
 
@@ -204,6 +206,8 @@ class Trainer:
             step_fn = self._get_step_fn(
                 cam.width, cam.height, has_depth, has_mask,
                 self.state.params.capacity,
+                # absgrad stats only matter while densification can run
+                need_absgrad=(step < self.cfg.stop_split_at),
             )
             key, sub = jax.random.split(key)
             self.state, metrics = step_fn(self.state, batch, sub)

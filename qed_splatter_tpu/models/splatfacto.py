@@ -123,7 +123,16 @@ def render(
         tile_size=cfg.tile_size,
         max_per_tile=cfg.max_per_tile,
     )
-    out = rasterize_tiles(
+    # Pallas kernels on TPU (5.4x faster fwd+bwd than XLA autodiff at
+    # 1296x840/80k gaussians); the XLA rasterizer is the differentiable
+    # oracle and the CPU/test path.
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        from qed_splatter_tpu.ops.rasterize_pallas import rasterize_tiles_pallas
+
+        rasterize_fn = rasterize_tiles_pallas
+    else:
+        rasterize_fn = rasterize_tiles
+    out = rasterize_fn(
         binning.tile_lists,
         proj.means2d[0],
         proj.conics[0],

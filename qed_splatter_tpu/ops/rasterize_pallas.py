@@ -1,0 +1,349 @@
+"""Pallas TPU kernels for tile compositing — forward + analytic backward.
+
+The hot path of the per-iteration solve (SURVEY D5; BASELINE.json north
+star "Pallas tile-based rasterizer ... and the analytic backward pass").
+Replaces the XLA compositing in ops.rasterize for the [T, K] -> image stage:
+
+- **forward**: one grid instance per 16x16 tile; all K depth-ordered
+  gaussians' alphas for all 256 pixels evaluated in VMEM, exclusive
+  transmittance via a log-space triangular-matmul cumulative sum (MXU —
+  cumprod has no TPU lowering and a serial scan would waste the MXU),
+  weighted color reduction as a [D, K] x [K, P] MXU matmul.
+- **backward**: custom VJP with gsplat-equivalent analytic gradients,
+  recomputing alphas in-kernel instead of saving [T, P, K] residuals
+  (the XLA-autodiff version's ~1 GB-per-tensor HBM traffic): the
+  transmittance chain rule needs a triangular-matmul suffix sum only;
+  gradient reductions over pixels are MXU matmuls.
+
+Memory layout: all per-tile arrays are **channel-major** — [T, C, K] with
+the K (gaussian) axis last — so VMEM blocks are lane-aligned (K multiple of
+128). A [T, K, C] layout pads each C in {1..4} to 128 lanes (measured 128x
+VMEM waste, OOM at 4k tiles).
+
+The kernels consume *pre-gathered* per-tile arrays (built by an XLA gather
+from ops.tiles lists) so gradients to per-gaussian parameters flow through
+the gather's scatter-add transpose automatically — which also yields the
+per-tile means2d gradients whose absolute values are the absgrad
+densification signal (reference model.py:284).
+
+Alpha semantics match ops.rasterize exactly: mask = (sigma >= 0) &
+(alpha > 1/255), clamp at 0.999 with zero gradient beyond the clamp.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qed_splatter_tpu.ops.rasterize import ALPHA_EPS, ALPHA_MAX
+
+
+def _pixel_grid(tile_idx, num_tiles_x: int, tile_size: int, p: int):
+    """Global pixel-center coordinates of this tile as [P, 1] columns."""
+    ox = (tile_idx % num_tiles_x) * tile_size
+    oy = (tile_idx // num_tiles_x) * tile_size
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = ox.astype(jnp.float32) + 0.5 + (pix % tile_size).astype(jnp.float32)
+    py = oy.astype(jnp.float32) + 0.5 + (pix // tile_size).astype(jnp.float32)
+    return px, py
+
+
+def _tri_strict_lower(k: int, dtype=jnp.float32):
+    """[K, K] matrix M with M[i, j] = 1 iff i < j (strictly)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (rows < cols).astype(dtype)
+
+
+def _excl_cumprod(one_minus):
+    """Exclusive cumulative product along the last (K) axis.
+
+    Log-space cumulative sum as a [P, K] x [K, K] triangular MXU matmul.
+    Safe: alpha <= 0.999 keeps log(1 - alpha) >= log(1e-3)."""
+    k = one_minus.shape[-1]
+    logs = jnp.log(jnp.maximum(one_minus, 1e-6))
+    excl = jnp.dot(logs, _tri_strict_lower(k),
+                   preferred_element_type=jnp.float32)
+    return jnp.exp(excl)
+
+
+def _excl_suffix_sum(x):
+    """R[:, k] = sum_{j > k} x[:, j] via the transposed triangular matmul."""
+    k = x.shape[-1]
+    return jnp.dot(x, _tri_strict_lower(k).T,
+                   preferred_element_type=jnp.float32)
+
+
+def _alphas(means_ref, conics_ref, opac_ref, tile_idx, num_tiles_x,
+            tile_size, p, j=0):
+    """Recompute alpha [P, K] + masks from channel-major per-tile blocks.
+
+    ``j`` is the local tile index within the (tb-tile) block."""
+    px, py = _pixel_grid(tile_idx, num_tiles_x, tile_size, p)
+    mx = means_ref[j, 0, :][None, :]          # [1, K]
+    my = means_ref[j, 1, :][None, :]
+    ca = conics_ref[j, 0, :][None, :]
+    cb = conics_ref[j, 1, :][None, :]
+    cc = conics_ref[j, 2, :][None, :]
+    op = opac_ref[j, 0, :][None, :]
+    dx = mx - px                               # [P, K]
+    dy = my - py
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    a_raw = op * jnp.exp(-sigma)
+    mask = (sigma >= 0.0) & (a_raw > ALPHA_EPS)
+    alpha = jnp.where(mask, jnp.minimum(a_raw, ALPHA_MAX), 0.0)
+    return alpha, a_raw, mask, dx, dy
+
+
+def _fwd_kernel(means_ref, conics_ref, colors_ref, opac_ref,
+                out_ref, acc_ref, *, num_tiles_x, tile_size, p, tb):
+    base = pl.program_id(0) * tb
+    for j in range(tb):  # static unroll: tb tiles per grid instance
+        t = base + j
+        alpha, _, _, _, _ = _alphas(
+            means_ref, conics_ref, opac_ref, t, num_tiles_x, tile_size, p, j
+        )
+        t_excl = _excl_cumprod(1.0 - alpha)
+        w = alpha * t_excl                     # [P, K]
+        # out[D, P] = colors[D, K] . w[P, K]^T  (contract K)
+        out_ref[j] = jax.lax.dot_general(
+            colors_ref[j], w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[j] = jnp.sum(w, axis=-1)[None, :]
+
+
+def _bwd_kernel(means_ref, conics_ref, colors_ref, opac_ref,
+                gout_ref, gacc_ref,
+                dmeans_ref, dconics_ref, dcolors_ref, dopac_ref,
+                *, num_tiles_x, tile_size, p, tb):
+    base = pl.program_id(0) * tb
+    for j in range(tb):  # static unroll: tb tiles per grid instance
+        t = base + j
+        alpha, a_raw, mask, dx, dy = _alphas(
+            means_ref, conics_ref, opac_ref, t, num_tiles_x, tile_size, p, j
+        )
+        t_excl = _excl_cumprod(1.0 - alpha)
+        w = alpha * t_excl                     # [P, K]
+        gout = gout_ref[j]                     # [D, P]
+        gacc = gacc_ref[j, 0, :]               # [P]
+
+        # dL/dw[P, K] = gout[D, P] . colors[D, K] (contract D) + gacc
+        dw = jax.lax.dot_general(
+            gout, colors_ref[j],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + gacc[:, None]
+        # dL/dcolors[D, K] = gout[D, P] . w[P, K]
+        dcolors_ref[j] = jnp.dot(
+            gout, w, preferred_element_type=jnp.float32
+        )
+
+        # transmittance chain: dL/da_k = T_k dw_k - R_k / (1 - a_k)
+        # with R_k = sum_{j>k} w_j dw_j
+        wdw = w * dw
+        R = _excl_suffix_sum(wdw)
+        dalpha = t_excl * dw - R / (1.0 - alpha)
+        # clamp + mask: gradient only where alpha = a_raw (not clamped)
+        live = mask & (a_raw <= ALPHA_MAX)
+        da_raw = jnp.where(live, dalpha, 0.0)
+
+        dsigma = -a_raw * da_raw               # [P, K]
+        op = opac_ref[j, 0, :][None, :]
+        exp_term = jnp.where(op > 0, a_raw / jnp.maximum(op, 1e-12), 0.0)
+        dopac_ref[j] = jnp.sum(exp_term * da_raw, axis=0)[None, :]
+
+        ca = conics_ref[j, 0, :][None, :]
+        cb = conics_ref[j, 1, :][None, :]
+        cc = conics_ref[j, 2, :][None, :]
+        dmx = jnp.sum(dsigma * (ca * dx + cb * dy), axis=0)   # [K]
+        dmy = jnp.sum(dsigma * (cc * dy + cb * dx), axis=0)
+        dmeans_ref[j] = jnp.stack([dmx, dmy], axis=0)         # [2, K]
+        dA = jnp.sum(0.5 * dx * dx * dsigma, axis=0)
+        dB = jnp.sum(dx * dy * dsigma, axis=0)
+        dC = jnp.sum(0.5 * dy * dy * dsigma, axis=0)
+        dconics_ref[j] = jnp.stack([dA, dB, dC], axis=0)      # [3, K]
+
+
+def _block(c, k, tb=1):
+    """Channel-major [T, C, K] block: lanes = K (128-aligned), sublanes = C.
+    ``tb`` tiles per grid instance amortize per-instance overhead."""
+    return pl.BlockSpec((tb, c, k), lambda t: (t, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
+)
+def composite_tiles_pallas(
+    g_means: jnp.ndarray,    # [T, 2, K] gathered screen means (channel-major)
+    g_conics: jnp.ndarray,   # [T, 3, K]
+    g_colors: jnp.ndarray,   # [T, D, K]
+    g_opac: jnp.ndarray,     # [T, 1, K] (0 for padded slots)
+    num_tiles_x: int,
+    tile_size: int = 16,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Composite gathered per-tile gaussians -> ([T, D, P], [T, 1, P])."""
+    return _composite_fwd_impl(
+        g_means, g_conics, g_colors, g_opac, num_tiles_x, tile_size, interpret
+    )
+
+
+def _interpret_default(interpret):
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+TILES_PER_INSTANCE = 8
+
+
+def _pad_tiles(arrs, t, tb):
+    pad = (-t) % tb
+    if pad == 0:
+        return arrs, t
+    return [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in arrs], t + pad
+
+
+def _composite_fwd_impl(g_means, g_conics, g_colors, g_opac,
+                        num_tiles_x, tile_size, interpret):
+    t, d, k = g_colors.shape
+    p = tile_size * tile_size
+    tb = min(TILES_PER_INSTANCE, t)
+    (g_means, g_conics, g_colors, g_opac), tp = _pad_tiles(
+        [g_means, g_conics, g_colors, g_opac], t, tb
+    )
+    kern = functools.partial(
+        _fwd_kernel, num_tiles_x=num_tiles_x, tile_size=tile_size, p=p,
+        tb=tb,
+    )
+    flops_tile = p * k * (20 + 2 * k + 2 * d)
+    out, acc = pl.pallas_call(
+        kern,
+        grid=(tp // tb,),
+        in_specs=[_block(2, k, tb), _block(3, k, tb), _block(d, k, tb),
+                  _block(1, k, tb)],
+        out_specs=(_block(d, p, tb), _block(1, p, tb)),
+        out_shape=(
+            jax.ShapeDtypeStruct((tp, d, p), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 1, p), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=t * flops_tile,
+            bytes_accessed=t * k * 4 * (2 + 3 + d + 1) + t * p * 4 * (d + 1),
+            transcendentals=t * p * k * 2,
+        ),
+        interpret=_interpret_default(interpret),
+    )(g_means, g_conics, g_colors, g_opac)
+    return out[:t], acc[:t]
+
+
+def _composite_fwd(g_means, g_conics, g_colors, g_opac,
+                   num_tiles_x, tile_size, interpret):
+    out = _composite_fwd_impl(
+        g_means, g_conics, g_colors, g_opac, num_tiles_x, tile_size, interpret
+    )
+    return out, (g_means, g_conics, g_colors, g_opac)
+
+
+def _composite_bwd(num_tiles_x, tile_size, interpret, res, grads):
+    g_means, g_conics, g_colors, g_opac = res
+    gout, gacc = grads
+    t, d, k = g_colors.shape
+    p = tile_size * tile_size
+    tb = min(TILES_PER_INSTANCE, t)
+    (g_means, g_conics, g_colors, g_opac, gout, gacc), tp = _pad_tiles(
+        [g_means, g_conics, g_colors, g_opac, gout, gacc], t, tb
+    )
+    kern = functools.partial(
+        _bwd_kernel, num_tiles_x=num_tiles_x, tile_size=tile_size, p=p,
+        tb=tb,
+    )
+    flops_tile = p * k * (40 + 4 * k + 4 * d)
+    dmeans, dconics, dcolors, dopac = pl.pallas_call(
+        kern,
+        grid=(tp // tb,),
+        in_specs=[
+            _block(2, k, tb), _block(3, k, tb), _block(d, k, tb),
+            _block(1, k, tb),
+            _block(d, p, tb), _block(1, p, tb),
+        ],
+        out_specs=(
+            _block(2, k, tb), _block(3, k, tb), _block(d, k, tb),
+            _block(1, k, tb),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tp, 2, k), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 3, k), jnp.float32),
+            jax.ShapeDtypeStruct((tp, d, k), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 1, k), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=t * flops_tile,
+            bytes_accessed=t * k * 4 * 2 * (2 + 3 + d + 1)
+            + t * p * 4 * (d + 1),
+            transcendentals=t * p * k * 2,
+        ),
+        interpret=_interpret_default(interpret),
+    )(g_means, g_conics, g_colors, g_opac, gout, gacc)
+    return dmeans[:t], dconics[:t], dcolors[:t], dopac[:t]
+
+
+composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)
+
+
+def rasterize_tiles_pallas(
+    tile_lists: jnp.ndarray,   # [T, K] from bin_gaussians
+    means2d: jnp.ndarray,      # [N, 2]
+    conics: jnp.ndarray,       # [N, 3]
+    colors: jnp.ndarray,       # [N, D]
+    opacities: jnp.ndarray,    # [N]
+    width: int,
+    height: int,
+    num_tiles_x: int,
+    tile_size: int = 16,
+    tile_eps: Optional[jnp.ndarray] = None,
+    interpret: Optional[bool] = None,
+):
+    """Drop-in replacement for ops.rasterize.rasterize_tiles using the
+    Pallas kernels. Gather/scatter stays in XLA so parameter gradients and
+    the absgrad tile_eps side-channel work unchanged."""
+    from qed_splatter_tpu.ops.rasterize import RasterizeResult
+
+    t, k = tile_lists.shape
+    d = colors.shape[-1]
+    num_tiles_y = -(-t // num_tiles_x)
+    assert num_tiles_x * num_tiles_y == t, "tile grid mismatch"
+
+    safe = jnp.maximum(tile_lists, 0)
+    slot_ok = tile_lists >= 0
+    g_means = means2d[safe]                      # [T, K, 2]
+    if tile_eps is not None:
+        g_means = g_means + tile_eps
+    g_means = g_means.transpose(0, 2, 1)         # -> channel-major [T, 2, K]
+    g_conics = conics[safe].transpose(0, 2, 1)
+    g_colors = colors[safe].transpose(0, 2, 1)
+    g_opac = jnp.where(slot_ok, opacities[safe], 0.0)[:, None, :]
+
+    out, acc = composite_tiles_pallas(
+        g_means, g_conics, g_colors, g_opac, num_tiles_x, tile_size,
+        interpret,
+    )
+    # out: [T, D, P] -> [H, W, D]
+    img = out.reshape(num_tiles_y, num_tiles_x, d, tile_size, tile_size)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(
+        num_tiles_y * tile_size, num_tiles_x * tile_size, d
+    )[:height, :width]
+    a = acc.reshape(num_tiles_y, num_tiles_x, tile_size, tile_size)
+    a = a.transpose(0, 2, 1, 3).reshape(
+        num_tiles_y * tile_size, num_tiles_x * tile_size
+    )[:height, :width]
+    return RasterizeResult(render=img, alpha=a[..., None])

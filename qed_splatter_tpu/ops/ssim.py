@@ -28,21 +28,35 @@ def _gaussian_kernel_np(kernel_size: int, sigma: float):
     return g.astype(np.float32)
 
 
+def _blur_batch(imgs: jnp.ndarray, kernel_size: int, sigma: float
+                ) -> jnp.ndarray:
+    """Separable valid-mode gaussian blur of a stack.
+
+    imgs: [B, H, W, C] -> [B, H-k+1, W-k+1, C]. All B*C planes go through
+    ONE pair of depthwise convs (batch folded into channels) — one-tenth the
+    kernel launches of blurring the five SSIM moment images separately.
+    """
+    b, h, w, c = imgs.shape
+    g = jnp.asarray(_gaussian_kernel_np(kernel_size, sigma))
+    x = imgs.transpose(1, 2, 0, 3).reshape(1, h, w, b * c)  # NHWC, C=b*c
+    kh = jnp.tile(g.reshape(kernel_size, 1, 1, 1), (1, 1, 1, b * c))
+    kw = jnp.tile(g.reshape(1, kernel_size, 1, 1), (1, 1, 1, b * c))
+    dn = lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
+    x = lax.conv_general_dilated(
+        x, kh, (1, 1), "VALID", dimension_numbers=dn,
+        feature_group_count=b * c,
+    )
+    x = lax.conv_general_dilated(
+        x, kw, (1, 1), "VALID", dimension_numbers=dn,
+        feature_group_count=b * c,
+    )
+    hh, ww = x.shape[1], x.shape[2]
+    return x.reshape(hh, ww, b, c).transpose(2, 0, 1, 3)
+
+
 def _blur(img: jnp.ndarray, kernel_size: int, sigma: float) -> jnp.ndarray:
     """Separable valid-mode gaussian blur. img: [H, W, C] -> [H-k+1, W-k+1, C]."""
-    g = jnp.asarray(_gaussian_kernel_np(kernel_size, sigma))
-    c = img.shape[-1]
-    x = img[None].transpose(0, 3, 1, 2)  # NCHW
-    kh = jnp.tile(g.reshape(1, 1, kernel_size, 1), (c, 1, 1, 1))
-    kw = jnp.tile(g.reshape(1, 1, 1, kernel_size), (c, 1, 1, 1))
-    dn = lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    x = lax.conv_general_dilated(
-        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
-    )
-    x = lax.conv_general_dilated(
-        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
-    )
-    return x.transpose(0, 2, 3, 1)[0]
+    return _blur_batch(img[None], kernel_size, sigma)[0]
 
 
 def ssim(
@@ -55,11 +69,10 @@ def ssim(
     """Scalar mean SSIM (higher is better)."""
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
-    mu_p = _blur(pred, kernel_size, sigma)
-    mu_t = _blur(target, kernel_size, sigma)
-    mu_pp = _blur(pred * pred, kernel_size, sigma)
-    mu_tt = _blur(target * target, kernel_size, sigma)
-    mu_pt = _blur(pred * target, kernel_size, sigma)
+    stack = jnp.stack(
+        [pred, target, pred * pred, target * target, pred * target]
+    )
+    mu_p, mu_t, mu_pp, mu_tt, mu_pt = _blur_batch(stack, kernel_size, sigma)
     var_p = mu_pp - mu_p * mu_p
     var_t = mu_tt - mu_t * mu_t
     cov = mu_pt - mu_p * mu_t

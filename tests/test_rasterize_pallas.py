@@ -1,0 +1,147 @@
+"""Pallas compositing kernels vs. the XLA rasterizer: forward parity and
+analytic-backward vs. autodiff gradients (SURVEY §4.1 kernel parity)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qed_splatter_tpu.ops.projection import project_gaussians
+from qed_splatter_tpu.ops.rasterize import rasterize_tiles
+from qed_splatter_tpu.ops.rasterize_pallas import rasterize_tiles_pallas
+from qed_splatter_tpu.ops.tiles import bin_gaussians
+from qed_splatter_tpu.testing import random_scene, simple_camera
+
+W, H = 64, 48
+K = 128
+
+
+def _projected(n=192, seed=0, with_depth=False):
+    scene = random_scene(n=n, seed=seed)
+    viewmat, Km = simple_camera(width=W, height=H, f=60.0)
+    res = project_gaussians(
+        jnp.asarray(scene["means"]),
+        jnp.asarray(scene["quats"]),
+        jnp.asarray(scene["scales"]),
+        jnp.asarray(viewmat),
+        jnp.asarray(Km),
+        W,
+        H,
+    )
+    colors = jnp.asarray(scene["colors"])
+    if with_depth:
+        colors = jnp.concatenate([colors, res.depths[0][:, None]], axis=-1)
+    opac = jnp.asarray(scene["opacities"])
+    binning = bin_gaussians(
+        res.means2d[0], res.radii[0], res.depths[0], W, H, max_per_tile=K
+    )
+    return res, colors, opac, binning
+
+
+def test_forward_parity():
+    res, colors, opac, binning = _projected()
+    args = (
+        binning.tile_lists, res.means2d[0], res.conics[0], colors, opac,
+        W, H, binning.num_tiles_x,
+    )
+    ref = rasterize_tiles(*args)
+    pal = rasterize_tiles_pallas(*args)
+    np.testing.assert_allclose(
+        np.asarray(pal.render), np.asarray(ref.render), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pal.alpha), np.asarray(ref.alpha), atol=2e-5
+    )
+
+
+def test_forward_parity_rgbd():
+    res, colors, opac, binning = _projected(with_depth=True)
+    args = (
+        binning.tile_lists, res.means2d[0], res.conics[0], colors, opac,
+        W, H, binning.num_tiles_x,
+    )
+    ref = rasterize_tiles(*args)
+    pal = rasterize_tiles_pallas(*args)
+    np.testing.assert_allclose(
+        np.asarray(pal.render), np.asarray(ref.render), atol=1e-4
+    )
+
+
+def test_backward_parity():
+    res, colors, opac, binning = _projected(n=96, seed=3)
+    m2d, con = res.means2d[0], res.conics[0]
+    target = jnp.zeros((H, W, 3))
+
+    def loss(fn, m2d, con, colors, opac):
+        out = fn(
+            binning.tile_lists, m2d, con, colors, opac, W, H,
+            binning.num_tiles_x,
+        )
+        return (
+            jnp.mean((out.render - target) ** 2)
+            + 0.3 * jnp.mean(out.alpha**2)
+        )
+
+    g_ref = jax.grad(lambda *a: loss(rasterize_tiles, *a), argnums=(0, 1, 2, 3))(
+        m2d, con, colors, opac
+    )
+    g_pal = jax.grad(
+        lambda *a: loss(rasterize_tiles_pallas, *a), argnums=(0, 1, 2, 3)
+    )(m2d, con, colors, opac)
+    names = ("means2d", "conics", "colors", "opacities")
+    for name, a, b in zip(names, g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3,
+            err_msg=f"grad mismatch: {name}",
+        )
+
+
+def test_backward_parity_with_tile_eps():
+    """The absgrad side-channel must produce identical tile-level grads."""
+    res, colors, opac, binning = _projected(n=64, seed=5)
+    m2d, con = res.means2d[0], res.conics[0]
+    t, k = binning.tile_lists.shape
+    target = jnp.zeros((H, W, 3))
+
+    def loss(fn, eps):
+        out = fn(
+            binning.tile_lists, m2d, con, colors, opac, W, H,
+            binning.num_tiles_x, tile_eps=eps,
+        )
+        return jnp.mean((out.render - target) ** 2)
+
+    eps = jnp.zeros((t, k, 2))
+    g_ref = jax.grad(lambda e: loss(rasterize_tiles, e))(eps)
+    g_pal = jax.grad(lambda e: loss(rasterize_tiles_pallas, e))(eps)
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), atol=5e-6
+    )
+
+
+def test_numerical_gradcheck_small():
+    """Finite-difference check of the custom VJP on a tiny case."""
+    from qed_splatter_tpu.ops.rasterize_pallas import composite_tiles_pallas
+
+    rng = np.random.default_rng(0)
+    t, k, d = 2, 8, 3  # channel-major layout: [T, C, K]
+    g_means = jnp.asarray(
+        rng.uniform(0, 32, (t, 2, k)).astype(np.float32)
+    )
+    g_conics = jnp.asarray(
+        np.tile(np.array([0.05, 0.0, 0.05], np.float32)[None, :, None],
+                (t, 1, k))
+    )
+    g_colors = jnp.asarray(rng.uniform(0, 1, (t, d, k)).astype(np.float32))
+    g_opac = jnp.asarray(rng.uniform(0.3, 0.7, (t, 1, k)).astype(np.float32))
+
+    def f(op):
+        out, acc = composite_tiles_pallas(
+            g_means, g_conics, g_colors, op, 2, 16
+        )
+        return jnp.sum(out**2) + jnp.sum(acc)
+
+    g = np.asarray(jax.grad(f)(g_opac))
+    epsv = 1e-3
+    for idx in [(0, 0, 0), (1, 0, 3), (0, 0, 7)]:
+        e = jnp.zeros_like(g_opac).at[idx].set(epsv)
+        fd = (float(f(g_opac + e)) - float(f(g_opac - e))) / (2 * epsv)
+        np.testing.assert_allclose(g[idx], fd, rtol=2e-2, atol=1e-4)
