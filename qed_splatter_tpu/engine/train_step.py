@@ -34,7 +34,7 @@ from qed_splatter_tpu.models.camera_opt import (
 )
 from qed_splatter_tpu.models.gaussians import GaussianParams
 from qed_splatter_tpu.models.splatfacto import render, total_loss
-from qed_splatter_tpu.ops.rasterize import absgrad_scatter
+from qed_splatter_tpu.ops.segment import absgrad_scatter_sorted as absgrad_scatter
 
 
 @flax.struct.dataclass

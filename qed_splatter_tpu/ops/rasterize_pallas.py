@@ -323,15 +323,20 @@ def rasterize_tiles_pallas(
     num_tiles_y = -(-t // num_tiles_x)
     assert num_tiles_x * num_tiles_y == t, "tile grid mismatch"
 
-    safe = jnp.maximum(tile_lists, 0)
-    slot_ok = tile_lists >= 0
-    g_means = means2d[safe]                      # [T, K, 2]
+    # one packed channel-major gather; its custom VJP reduces gradients by
+    # sort-based segment sum instead of XLA's scalar scatter-add
+    from qed_splatter_tpu.ops.segment import tile_gather_cm
+
+    packed = jnp.concatenate(
+        [means2d, conics, colors, opacities[:, None]], axis=-1
+    )  # [N, 6 + D]
+    g = tile_gather_cm(packed, tile_lists)        # [T, 6 + D, K]
+    g_means = g[:, 0:2]
     if tile_eps is not None:
-        g_means = g_means + tile_eps
-    g_means = g_means.transpose(0, 2, 1)         # -> channel-major [T, 2, K]
-    g_conics = conics[safe].transpose(0, 2, 1)
-    g_colors = colors[safe].transpose(0, 2, 1)
-    g_opac = jnp.where(slot_ok, opacities[safe], 0.0)[:, None, :]
+        g_means = g_means + tile_eps.transpose(0, 2, 1)
+    g_conics = g[:, 2:5]
+    g_colors = g[:, 5:5 + d]
+    g_opac = g[:, 5 + d:6 + d]
 
     out, acc = composite_tiles_pallas(
         g_means, g_conics, g_colors, g_opac, num_tiles_x, tile_size,

@@ -33,7 +33,7 @@ from qed_splatter_tpu.models.camera_opt import (
     camera_opt_regularizer,
 )
 from qed_splatter_tpu.models.splatfacto import render, total_loss
-from qed_splatter_tpu.ops.rasterize import absgrad_scatter
+from qed_splatter_tpu.ops.segment import absgrad_scatter_sorted as absgrad_scatter
 from qed_splatter_tpu.parallel.mesh import shard_leading_capacity
 
 
