@@ -186,11 +186,154 @@ def cmd_export(argv) -> int:
     return 0
 
 
+def cmd_view(argv) -> int:
+    """Standalone viewer over a checkpoint (reference vis="viewer" UX)."""
+    import time
+
+    import numpy as np
+
+    from qed_splatter_tpu.configs import ModelConfig, default_optimizers
+    from qed_splatter_tpu.engine import checkpoint as ckpt
+    from qed_splatter_tpu.engine.optim import GroupOptimizers
+    from qed_splatter_tpu.engine.train_step import init_train_state
+    from qed_splatter_tpu.models.gaussians import init_random
+    from qed_splatter_tpu.viewer import Viewer
+
+    parser = argparse.ArgumentParser(prog="qed-view")
+    parser.add_argument("--load-dir", required=True)
+    parser.add_argument("--capacity", type=int, required=True)
+    parser.add_argument("--num-cameras", type=int, default=1)
+    parser.add_argument("--port", type=int, default=7007)
+    ns = parser.parse_args(argv)
+    latest = ckpt.latest_checkpoint(ns.load_dir)
+    if latest is None:
+        print(f"error: no checkpoint under {ns.load_dir}", file=sys.stderr)
+        return 2
+    template = init_train_state(
+        init_random(num_points=16, capacity=ns.capacity),
+        GroupOptimizers(default_optimizers()),
+        num_cameras=ns.num_cameras,
+    )
+    state = ckpt.restore_checkpoint(latest, template)
+    # center the orbit on the alive gaussians
+    alive = np.asarray(state.params.alive)
+    means = np.asarray(state.params.means)[alive]
+    target = tuple(means.mean(0)) if len(means) else (0.0, 0.0, 0.0)
+    viewer = Viewer(ModelConfig(), port=ns.port, target=target)
+    viewer.update(state.params, int(state.step))
+    viewer.start()
+    print("Press Ctrl-C to stop.")
+    try:
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        viewer.stop()
+    return 0
+
+
+def cmd_render(argv) -> int:
+    """Render a camera trajectory from a checkpoint to PNG frames
+    (ns-render-equivalent: orbit path or the dataset's eval cameras)."""
+    import numpy as np
+
+    from qed_splatter_tpu.configs import (
+        DataConfig, ModelConfig, default_optimizers,
+    )
+    from qed_splatter_tpu.engine import checkpoint as ckpt
+    from qed_splatter_tpu.engine.optim import GroupOptimizers
+    from qed_splatter_tpu.engine.train_step import init_train_state
+    from qed_splatter_tpu.models.gaussians import init_random
+
+    parser = argparse.ArgumentParser(prog="qed-render")
+    parser.add_argument("--load-dir", required=True)
+    parser.add_argument("--capacity", type=int, required=True)
+    parser.add_argument("--num-cameras", type=int, default=1)
+    parser.add_argument("--output-dir", default="renders")
+    parser.add_argument("--mode", choices=["orbit", "eval"], default="orbit")
+    parser.add_argument("--data", default=None,
+                        help="dataset (required for --mode eval)")
+    parser.add_argument("--num-frames", type=int, default=60)
+    parser.add_argument("--width", type=int, default=960)
+    parser.add_argument("--height", type=int, default=540)
+    parser.add_argument("--radius", type=float, default=3.0)
+    parser.add_argument("--elevation", type=float, default=0.2)
+    parser.add_argument("--depth", action="store_true",
+                        help="also write turbo-ish depth visualizations")
+    ns = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+    from PIL import Image
+    from pathlib import Path
+
+    from qed_splatter_tpu.models.splatfacto import render
+    from qed_splatter_tpu.testing import orbit_c2w_opengl
+
+    latest = ckpt.latest_checkpoint(ns.load_dir)
+    if latest is None:
+        print(f"error: no checkpoint under {ns.load_dir}", file=sys.stderr)
+        return 2
+    template = init_train_state(
+        init_random(num_points=16, capacity=ns.capacity),
+        GroupOptimizers(default_optimizers()),
+        num_cameras=ns.num_cameras,
+    )
+    state = ckpt.restore_checkpoint(latest, template)
+    cfg = ModelConfig()
+    out_dir = Path(ns.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    cams = []
+    if ns.mode == "eval":
+        if not ns.data:
+            print("error: --data required for --mode eval", file=sys.stderr)
+            return 2
+        from qed_splatter_tpu.data.dataset import FullImageDatamanager
+
+        dm = FullImageDatamanager(DataConfig(data=ns.data))
+        for item in dm.eval_items():
+            c = item["camera"]
+            cams.append((c.c2w, c.intrinsics_matrix(), c.width, c.height))
+    else:
+        alive = np.asarray(state.params.alive)
+        means = np.asarray(state.params.means)[alive]
+        target = tuple(means.mean(0)) if len(means) else (0.0, 0.0, 0.0)
+        f = 0.8 * max(ns.width, ns.height)
+        K = np.array(
+            [[f, 0, ns.width / 2], [0, f, ns.height / 2], [0, 0, 1]],
+            np.float32,
+        )
+        for i in range(ns.num_frames):
+            az = 2 * np.pi * i / ns.num_frames
+            cams.append((
+                orbit_c2w_opengl(ns.radius, az, ns.elevation, target),
+                K, ns.width, ns.height,
+            ))
+
+    for i, (c2w, K, w, h) in enumerate(cams):
+        out = render(
+            state.params, jnp.asarray(c2w), jnp.asarray(K), w, h, cfg,
+            step=state.step, train=False,
+        )
+        rgb = np.clip(np.asarray(out.rgb) * 255, 0, 255).astype(np.uint8)
+        Image.fromarray(rgb).save(out_dir / f"frame_{i:05d}.png")
+        if ns.depth and out.depth is not None:
+            d = np.asarray(out.depth[..., 0])
+            dn = (d - d.min()) / max(d.max() - d.min(), 1e-9)
+            Image.fromarray((dn * 255).astype(np.uint8)).save(
+                out_dir / f"depth_{i:05d}.png"
+            )
+        print(f"  frame {i + 1}/{len(cams)}", end="\r", flush=True)
+    print(f"\nWrote {len(cams)} frames to {out_dir}")
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
     "eval": cmd_eval,
     "init-pc": cmd_init_pc,
     "export": cmd_export,
+    "view": cmd_view,
+    "render": cmd_render,
 }
 
 

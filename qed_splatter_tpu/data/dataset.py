@@ -15,6 +15,7 @@ collapses to the first channel (reference create_init_pointcloud.py:30-40).
 
 from __future__ import annotations
 
+import dataclasses
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -91,9 +92,18 @@ class FullImageDatamanager:
         frame: Frame = self.scene.frames[idx]
         d = self.cfg.downscale_factor or 1
         image = load_image_uint8(frame.image_path, downscale=d)
+        cam = frame.camera.rescaled(1.0 / d) if d > 1 else frame.camera
+        # undistort at cache time (nerfstudio D12 semantics): downstream
+        # rendering assumes an ideal pinhole
+        dist = cam.distortion
+        if dist is not None:
+            from qed_splatter_tpu.data.undistort import undistort_image
+
+            image = undistort_image(image, cam.intrinsics_matrix(), dist)
+            cam = dataclasses.replace(cam, distortion=None)
         item: Dict = {
             "image": image,  # uint8 cache (reference config.py:37)
-            "camera": frame.camera.rescaled(1.0 / d) if d > 1 else frame.camera,
+            "camera": cam,
             "cam_idx": idx,
         }
         if frame.depth_path is not None:
@@ -101,6 +111,12 @@ class FullImageDatamanager:
             depth[~np.isfinite(depth)] = 0.0
             if depth.shape[:2] != image.shape[:2]:
                 depth = _resize_nearest(depth, image.shape[0], image.shape[1])
+            if dist is not None:
+                from qed_splatter_tpu.data.undistort import undistort_image
+
+                depth = undistort_image(
+                    depth, cam.intrinsics_matrix(), dist, nearest=True
+                )
             item["depth_image"] = depth[..., None].astype(np.float32)
         if frame.mask_path is not None:
             from PIL import Image

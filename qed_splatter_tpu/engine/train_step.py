@@ -32,6 +32,11 @@ from qed_splatter_tpu.models.camera_opt import (
     apply_camera_opt,
     camera_opt_regularizer,
 )
+from qed_splatter_tpu.models.bilateral_grid import (
+    apply_bilateral_grid,
+    init_bilateral_grids,
+    total_variation_loss,
+)
 from qed_splatter_tpu.models.gaussians import GaussianParams
 from qed_splatter_tpu.models.splatfacto import render, total_loss
 from qed_splatter_tpu.ops.segment import absgrad_scatter_sorted as absgrad_scatter
@@ -47,14 +52,25 @@ class TrainState:
     camera_opt_state: Dict         # optax state for the camera_opt group
     stats: DensifyStats
     step: jnp.ndarray              # int32 scalar
+    # per-camera bilateral color grids (SURVEY D11); None when disabled
+    bilateral_grids: Optional[jnp.ndarray] = None
+    bilateral_grid_state: Optional[Dict] = None
 
 
 def init_train_state(
     params: GaussianParams,
     optims: GroupOptimizers,
     num_cameras: int,
+    use_bilateral_grid: bool = False,
+    bilateral_grid_shape=(16, 16, 8),
 ) -> TrainState:
     cam = jnp.zeros((max(num_cameras, 1), 6), jnp.float32)
+    bgrids = bstate = None
+    if use_bilateral_grid:
+        bgrids = init_bilateral_grids(
+            max(num_cameras, 1), bilateral_grid_shape
+        )
+        bstate = optims.txs["bilateral_grid"].init(bgrids)
     return TrainState(
         params=params,
         opt_state=optims.init(params.trainable_dict()),
@@ -62,6 +78,8 @@ def init_train_state(
         camera_opt_state=optims.txs["camera_opt"].init(cam),
         stats=DensifyStats.zeros(params.capacity),
         step=jnp.zeros((), jnp.int32),
+        bilateral_grids=bgrids,
+        bilateral_grid_state=bstate,
     )
 
 
@@ -96,7 +114,7 @@ def make_train_step(
         gt_depth = batch["depth"] if has_depth else None
         mask = batch["mask"] if has_mask else None
 
-        def loss_fn(gdict, cam_delta, tile_eps):
+        def loss_fn(gdict, cam_delta, tile_eps, bgrids):
             p = state.params.replace_trainable(gdict)
             c2w = batch["c2w"]
             if camera_opt_on:
@@ -105,6 +123,13 @@ def make_train_step(
                 p, c2w, batch["K"], width, height, cfg,
                 step=state.step, train=True, bg_rng=rng_bg, tile_eps=tile_eps,
             )
+            if cfg.use_bilateral_grid:
+                # per-camera color correction on the rendered image during
+                # training (reference model.py:300-302)
+                rgb = apply_bilateral_grid(
+                    bgrids[batch["cam_idx"]], out.rgb
+                )
+                out = out._replace(rgb=jnp.clip(rgb, 0.0, 1.0))
             loss, losses = total_loss(
                 out, gt_rgb, gt_depth, p, cfg, state.step, mask
             )
@@ -112,16 +137,30 @@ def make_train_step(
                 reg = camera_opt_regularizer(cam_delta[batch["cam_idx"]])
                 losses = dict(losses, camera_opt_regularizer=reg)
                 loss = loss + reg
+            if cfg.use_bilateral_grid:
+                tv = 10.0 * total_variation_loss(bgrids)
+                losses = dict(losses, tv_loss=tv)
+                loss = loss + tv
             return loss, (losses, out)
 
+        bgrids = state.bilateral_grids
         if need_absgrad:
             tile_eps = jnp.zeros((num_tiles, k, 2), jnp.float32)
             grad_fn = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2), has_aux=True
+                loss_fn, argnums=(0, 1, 2, 3) if cfg.use_bilateral_grid
+                else (0, 1, 2), has_aux=True
             )
-            (loss, (losses, out)), (g_params, g_cam, g_eps) = grad_fn(
-                state.params.trainable_dict(), state.camera_opt, tile_eps
-            )
+            if cfg.use_bilateral_grid:
+                (loss, (losses, out)), (g_params, g_cam, g_eps, g_bgrid) = (
+                    grad_fn(state.params.trainable_dict(), state.camera_opt,
+                            tile_eps, bgrids)
+                )
+            else:
+                (loss, (losses, out)), (g_params, g_cam, g_eps) = grad_fn(
+                    state.params.trainable_dict(), state.camera_opt,
+                    tile_eps, None,
+                )
+                g_bgrid = None
             # absgrad densification statistics (reference model.py:289-292)
             absg = absgrad_scatter(
                 g_eps, out.tile_lists, state.params.capacity
@@ -129,12 +168,19 @@ def make_train_step(
             stats = accumulate_stats(state.stats, absg, out.radii, max_hw)
         else:
             grad_fn = jax.value_and_grad(
-                lambda g, c: loss_fn(g, c, None), argnums=(0, 1),
+                lambda g, c, b: loss_fn(g, c, None, b),
+                argnums=(0, 1, 2) if cfg.use_bilateral_grid else (0, 1),
                 has_aux=True,
             )
-            (loss, (losses, out)), (g_params, g_cam) = grad_fn(
-                state.params.trainable_dict(), state.camera_opt
-            )
+            if cfg.use_bilateral_grid:
+                (loss, (losses, out)), (g_params, g_cam, g_bgrid) = grad_fn(
+                    state.params.trainable_dict(), state.camera_opt, bgrids
+                )
+            else:
+                (loss, (losses, out)), (g_params, g_cam) = grad_fn(
+                    state.params.trainable_dict(), state.camera_opt, None
+                )
+                g_bgrid = None
             stats = state.stats
 
         # per-group Adam (reference config.py:44-81)
@@ -151,6 +197,14 @@ def make_train_step(
         else:
             camera_opt, cam_state = state.camera_opt, state.camera_opt_state
 
+        if cfg.use_bilateral_grid and g_bgrid is not None:
+            bupd, bstate = optims.txs["bilateral_grid"].update(
+                g_bgrid, state.bilateral_grid_state, bgrids
+            )
+            bgrids = bgrids + bupd
+        else:
+            bstate = state.bilateral_grid_state
+
         metrics = dict(losses)
         metrics["loss"] = loss
         metrics["gaussian_count"] = params.num_alive()
@@ -165,6 +219,8 @@ def make_train_step(
             camera_opt_state=cam_state,
             stats=stats,
             step=state.step + 1,
+            bilateral_grids=bgrids,
+            bilateral_grid_state=bstate,
         )
         return new_state, metrics
 

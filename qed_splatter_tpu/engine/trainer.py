@@ -85,6 +85,12 @@ class Trainer:
             console_every=config.log_every,
         )
         self.rgb_metrics = RGBMetrics()
+        self.viewer = None
+        if config.vis == "viewer":
+            from qed_splatter_tpu.viewer import Viewer
+
+            self.viewer = Viewer(self.cfg, port=7007)
+            self.viewer.start()
         self._step_fns: Dict[Tuple, object] = {}
         self._refine_jit = jax.jit(
             refine,
@@ -120,7 +126,9 @@ class Trainer:
                 seed=self.config.seed,
             )
         state = init_train_state(
-            params, self.optims, num_cameras=len(scene.frames)
+            params, self.optims, num_cameras=len(scene.frames),
+            use_bilateral_grid=self.cfg.use_bilateral_grid,
+            bilateral_grid_shape=self.cfg.bilateral_grid_shape,
         )
         if self.config.load_dir:
             latest = ckpt.latest_checkpoint(self.config.load_dir)
@@ -215,6 +223,8 @@ class Trainer:
 
             if cur % cfgt.log_every == 0:
                 self.writer.write(cur, metrics, prefix="train")
+                if self.viewer is not None:
+                    self.viewer.update(self.state.params, cur)
 
             # refinement callbacks (SURVEY D8)
             if (

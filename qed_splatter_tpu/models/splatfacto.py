@@ -72,14 +72,23 @@ def render(
     bg_rng: Optional[jax.Array] = None,
     tile_eps: Optional[jnp.ndarray] = None,
     render_depth: Optional[bool] = None,
+    crop_box=None,
 ) -> RenderOutputs:
     """Full forward render of one camera (reference model.py:199-321).
 
     ``width``/``height`` are static (compile-time); everything else traced.
     ``tile_eps`` is the absgrad side-channel (see ops.rasterize).
+    ``crop_box`` (models.crop.CropBox) excludes gaussians at eval time
+    (model.py:217-239); an all-empty crop degenerates to the background
+    image (= get_empty_outputs) with no host branch.
     """
     if render_depth is None:
         render_depth = cfg.output_depth_during_training or not train
+
+    if crop_box is not None and not train:
+        params = params.replace(
+            alive=params.alive & crop_box.within(params.means)
+        )
 
     viewmat = get_viewmat(c2w[None])                        # [1, 4, 4]
     campos = c2w[:3, 3]

@@ -72,6 +72,7 @@ def mean_knn_distance(points: jnp.ndarray, k: int = 3, chunk: int = 4096):
 
     Splatfacto's scale initializer (SURVEY D8): scales = log(mean 3-NN dist).
     """
+    k = min(k, max(points.shape[0] - 1, 1))  # tiny clouds
     d, _ = knn(points, points, k=k, exclude_self=True, chunk=chunk)
     d = jnp.where(jnp.isfinite(d), d, 0.0)
     return jnp.mean(d, axis=-1)
