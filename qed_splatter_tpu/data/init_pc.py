@@ -29,7 +29,7 @@ from qed_splatter_tpu.data.dataset import load_depth
 from qed_splatter_tpu.data.ply import PlyData, read_ply, write_ply
 from qed_splatter_tpu.ops.backproject import backproject_depth, project_points
 from qed_splatter_tpu.ops.camera import opengl_c2w_to_opencv_w2c
-from qed_splatter_tpu.ops.voxel import voxel_downsample
+from qed_splatter_tpu.native import voxel_downsample_native as voxel_downsample
 
 
 @dataclasses.dataclass

@@ -129,19 +129,29 @@ def depth_metrics(pred: jnp.ndarray, gt: jnp.ndarray,
 # -------------------------------------------------------- point clouds
 
 
+def _nn_dist(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
+    """Nearest-neighbor distances via the native geometry core when built
+    (multithreaded grid hash), else the chunked MXU KNN."""
+    from qed_splatter_tpu import native
+
+    if native.available():
+        return native.nn_distances_native(
+            np.asarray(queries, np.float32), np.asarray(refs, np.float32)
+        )
+    return np.asarray(nn_distances(jnp.asarray(queries), jnp.asarray(refs)))
+
+
 def calculate_accuracy(reconstructed: np.ndarray, reference: np.ndarray,
                        percentile: float = 90.0) -> float:
     """90th-percentile NN distance recon->ref (reference metrics.py:35-47)."""
-    d = np.asarray(nn_distances(jnp.asarray(reconstructed),
-                                jnp.asarray(reference)))
+    d = _nn_dist(reconstructed, reference)
     return float(np.percentile(d, percentile))
 
 
 def calculate_completeness(reconstructed: np.ndarray, reference: np.ndarray,
                            threshold: float = 0.05) -> float:
     """% of ref points within threshold of recon (reference metrics.py:50-63)."""
-    d = np.asarray(nn_distances(jnp.asarray(reference),
-                                jnp.asarray(reconstructed)))
+    d = _nn_dist(reference, reconstructed)
     return float(np.sum(d < threshold) / len(d) * 100.0)
 
 
