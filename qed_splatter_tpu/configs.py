@@ -138,14 +138,16 @@ class TrainerConfig:
     seed: int = 42
     vis: Literal["none", "tensorboard", "jsonl", "viewer"] = "jsonl"
     log_every: int = 10
+    profile_dir: Optional[str] = None   # jax.profiler trace of steps 10..14
 
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)
     optimizers: dict = field(default_factory=default_optimizers)
 
     # --- parallelism (SURVEY §2c; no reference counterpart) ---
-    num_data_shards: int = 1     # cameras per step = data-parallel width
-    gaussian_sharding: bool = False  # v2: shard params/opt state over 'model'
+    num_data_shards: int = 1     # mesh 'data' axis: cameras per step
+    num_model_shards: int = 1    # mesh 'model' axis: gaussian sharding
+    shard_views_by_process: bool = True  # multi-host: per-host camera subset
 
 
 def replace(cfg, **kw):

@@ -68,19 +68,29 @@ class FullImageDatamanager:
     """
 
     def __init__(self, cfg: DataConfig, scene: Optional[ParsedScene] = None,
-                 seed: int = 0):
+                 seed: int = 0, process_index: int = 0,
+                 process_count: int = 1):
         self.cfg = cfg
         self.scene = scene if scene is not None else parse_transforms(cfg)
-        self.rng = np.random.default_rng(seed)
+        self.rng = np.random.default_rng(seed + process_index)
         self._cache: Dict[int, Dict] = {}
         self._perm: List[int] = []
         self.depth_scale = (
             self.scene.depth_unit_scale_factor * self.scene.scale_factor
         )
+        # multi-host view sharding (SURVEY §2c): each host caches and
+        # samples only its camera subset; gradients meet via collectives
+        self.train_indices = self.scene.train_indices
+        if process_count > 1:
+            self.train_indices = self.train_indices[
+                process_index::process_count
+            ]
+            if len(self.train_indices) == 0:
+                self.train_indices = self.scene.train_indices[:1]
 
     @property
     def num_train(self) -> int:
-        return len(self.scene.train_indices)
+        return len(self.train_indices)
 
     @property
     def num_eval(self) -> int:
@@ -132,9 +142,7 @@ class FullImageDatamanager:
 
     def next_train(self, step: int) -> Dict:
         if not self._perm:
-            self._perm = list(
-                self.rng.permutation(self.scene.train_indices)
-            )
+            self._perm = list(self.rng.permutation(self.train_indices))
         idx = int(self._perm.pop())
         return self._load(idx)
 

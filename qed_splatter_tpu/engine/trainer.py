@@ -72,9 +72,26 @@ class Trainer:
                  datamanager: Optional[FullImageDatamanager] = None):
         self.config = config
         self.cfg = config.model
+        try:
+            pidx, pcnt = jax.process_index(), jax.process_count()
+        except RuntimeError:
+            pidx, pcnt = 0, 1
+        if not config.data.data and datamanager is None:
+            raise ValueError("TrainerConfig.data.data is required")
         self.dm = datamanager or FullImageDatamanager(
-            config.data, seed=config.seed
+            config.data, seed=config.seed,
+            process_index=pidx if config.shard_views_by_process else 0,
+            process_count=pcnt if config.shard_views_by_process else 1,
         )
+        # multi-device mesh (SURVEY §2c): data axis = cameras per step,
+        # model axis = gaussian sharding
+        self.mesh = None
+        if config.num_data_shards * config.num_model_shards > 1:
+            from qed_splatter_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(
+                config.num_data_shards, config.num_model_shards
+            )
         self.optims = GroupOptimizers(config.optimizers)
         out_root = Path(config.output_dir)
         name = config.experiment_name or "qed-splatter"
@@ -92,6 +109,7 @@ class Trainer:
             self.viewer = Viewer(self.cfg, port=7007)
             self.viewer.start()
         self._step_fns: Dict[Tuple, object] = {}
+        self._sharded_fns: Dict[Tuple, object] = {}
         self._refine_jit = jax.jit(
             refine,
             static_argnames=(
@@ -156,6 +174,30 @@ class Trainer:
             )
         return self._step_fns[key]
 
+    def _get_sharded_step_fn(self, width, height, has_depth, has_mask,
+                             capacity):
+        from qed_splatter_tpu.parallel.dp import make_sharded_train_step
+
+        key = (width, height, has_depth, has_mask, capacity)
+        if key not in self._sharded_fns:
+            self._sharded_fns[key] = make_sharded_train_step(
+                self.cfg, self.optims, width, height, self.mesh,
+                has_depth=has_depth, has_mask=has_mask,
+            )
+        return self._sharded_fns[key]
+
+    def _prepare_sharded_batch(self, items, d: int):
+        """Stack B per-camera batches (homogeneous sizes assumed)."""
+        parts = [self._prepare_batch(item, d) for item in items]
+        batches = [p[0] for p in parts]
+        cam = parts[0][1]
+        has_depth = parts[0][2]
+        has_mask = parts[0][3]
+        stacked = {
+            k: jnp.stack([b[k] for b in batches]) for k in batches[0]
+        }
+        return stacked, cam, has_depth, has_mask
+
     def _prepare_batch(self, item: Dict, d: int):
         cam = item["camera"].rescaled(1.0 / d) if d > 1 else item["camera"]
         rgb = downscale_image(item["image"], d)
@@ -208,18 +250,35 @@ class Trainer:
         start_step = int(self.state.step)
         t0 = time.perf_counter()
         for step in range(start_step, total):
-            item = self.dm.next_train(step)
+            if self.config.profile_dir and step == start_step + 10:
+                jax.profiler.start_trace(self.config.profile_dir)
             d = self._downscale_factor(step)
-            batch, cam, has_depth, has_mask = self._prepare_batch(item, d)
-            step_fn = self._get_step_fn(
-                cam.width, cam.height, has_depth, has_mask,
-                self.state.params.capacity,
-                # absgrad stats only matter while densification can run
-                need_absgrad=(step < self.cfg.stop_split_at),
-            )
+            if self.mesh is not None:
+                items = self.dm.next_train_batch(
+                    step, self.config.num_data_shards
+                )
+                batch, cam, has_depth, has_mask = (
+                    self._prepare_sharded_batch(items, d)
+                )
+                step_fn = self._get_sharded_step_fn(
+                    cam.width, cam.height, has_depth, has_mask,
+                    self.state.params.capacity,
+                )
+            else:
+                item = self.dm.next_train(step)
+                batch, cam, has_depth, has_mask = self._prepare_batch(item, d)
+                step_fn = self._get_step_fn(
+                    cam.width, cam.height, has_depth, has_mask,
+                    self.state.params.capacity,
+                    # absgrad stats only matter while densification can run
+                    need_absgrad=(step < self.cfg.stop_split_at),
+                )
             key, sub = jax.random.split(key)
             self.state, metrics = step_fn(self.state, batch, sub)
             cur = step + 1
+            if self.config.profile_dir and step == start_step + 14:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
 
             if cur % cfgt.log_every == 0:
                 self.writer.write(cur, metrics, prefix="train")

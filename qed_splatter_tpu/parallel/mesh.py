@@ -33,10 +33,11 @@ def make_mesh(
     n = len(devices)
     if num_data is None:
         num_data = n // num_model
-    if num_data * num_model != n:
+    if num_data * num_model > n:
         raise ValueError(
-            f"mesh {num_data}x{num_model} != {n} devices"
+            f"mesh {num_data}x{num_model} needs more than {n} devices"
         )
+    devices = devices[: num_data * num_model]
     arr = np.asarray(devices).reshape(num_data, num_model)
     return Mesh(arr, axis_names=("data", "model"))
 

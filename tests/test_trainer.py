@@ -120,3 +120,34 @@ def test_cli_unknown_command():
 
     assert main(["frobnicate"]) == 2
     assert main([]) == 2
+
+
+def test_trainer_data_parallel_mesh(dataset, tmp_path):
+    """Trainer drives the sharded multi-camera step over a 2x2 CPU mesh."""
+    cfg = _tiny_config(dataset, tmp_path)
+    cfg = dataclasses.replace(
+        cfg, num_data_shards=2, num_model_shards=2, max_num_iterations=8,
+        steps_per_eval_image=0, steps_per_eval_all_images=0,
+        steps_per_save=0, log_every=4,
+    )
+    trainer = Trainer(cfg)
+    assert trainer.mesh is not None
+    state = trainer.train()
+    assert int(state.step) == 8
+    import jax
+    # params ended up sharded over the model axis
+    assert state.params.means.sharding.spec[0] == "model"
+
+
+def test_process_sharded_views(dataset):
+    from qed_splatter_tpu.configs import DataConfig
+    from qed_splatter_tpu.data.dataset import FullImageDatamanager
+
+    dm0 = FullImageDatamanager(DataConfig(data=str(dataset)),
+                               process_index=0, process_count=2)
+    dm1 = FullImageDatamanager(DataConfig(data=str(dataset)),
+                               process_index=1, process_count=2)
+    s0 = set(dm0.train_indices)
+    s1 = set(dm1.train_indices)
+    assert not (s0 & s1)
+    assert s0 | s1 == set(dm0.scene.train_indices)
