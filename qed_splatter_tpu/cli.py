@@ -327,6 +327,32 @@ def cmd_render(argv) -> int:
     return 0
 
 
+def cmd_eval_pc(argv) -> int:
+    """Point-cloud accuracy/completeness vs a reference scan
+    (reference PDMetrics, metrics.py:9-63 — the offline eval toolkit)."""
+    from qed_splatter_tpu.data.ply import read_ply
+    from qed_splatter_tpu.metrics import PDMetrics
+
+    parser = argparse.ArgumentParser(prog="qed-eval-pc")
+    parser.add_argument("--pred", required=True, help="reconstructed PLY")
+    parser.add_argument("--gt", required=True, help="reference-scan PLY")
+    parser.add_argument("--completeness-threshold", type=float, default=0.05)
+    parser.add_argument("--accuracy-percentile", type=float, default=90.0)
+    ns = parser.parse_args(argv)
+    pred = read_ply(ns.pred).positions
+    gt = read_ply(ns.gt).positions
+    from qed_splatter_tpu.metrics import (
+        calculate_accuracy, calculate_completeness,
+    )
+    acc = calculate_accuracy(pred, gt, percentile=ns.accuracy_percentile)
+    cmp_ = calculate_completeness(
+        pred, gt, threshold=ns.completeness_threshold
+    )
+    print(f"accuracy_p{ns.accuracy_percentile:.0f}: {acc:.6f}")
+    print(f"completeness_{ns.completeness_threshold}: {cmp_:.2f}%")
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
     "eval": cmd_eval,
@@ -334,6 +360,7 @@ COMMANDS = {
     "export": cmd_export,
     "view": cmd_view,
     "render": cmd_render,
+    "eval-pc": cmd_eval_pc,
 }
 
 

@@ -139,6 +139,11 @@ class TrainerConfig:
     vis: Literal["none", "tensorboard", "jsonl", "viewer"] = "jsonl"
     log_every: int = 10
     profile_dir: Optional[str] = None   # jax.profiler trace of steps 10..14
+    # steps per device dispatch: 0 = auto (gcd of the cadence settings,
+    # capped at 100), 1 = legacy per-step host loop. Multi-step dispatch
+    # runs a lax.scan over a device-resident image cache (engine.scan_runner)
+    steps_per_dispatch: int = 0
+    max_device_cache_bytes: int = 4 << 30  # fall back to host loop beyond
 
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)

@@ -243,7 +243,159 @@ class Trainer:
 
     # ------------------------------------------------------------- train
 
+    def _callbacks(self, cur: int, max_hw: int, key):
+        """Refine / eval / checkpoint cadences shared by both train loops."""
+        cfgt = self.config
+        if (
+            cur > self.cfg.warmup_length
+            and cur % self.cfg.refine_every == 0
+        ):
+            self._maybe_grow()
+            key, sub = jax.random.split(key)
+            params, opt_state, stats, info = self._refine_jit(
+                self.state.params, self.state.opt_state, self.state.stats,
+                self.state.step, sub, self.cfg,
+                num_train_data=self.dm.num_train,
+                max_hw=max_hw,
+            )
+            params, opt_state = self._reset_jit(
+                params, opt_state, self.state.step, self.cfg
+            )
+            self.state = self.state.replace(
+                params=params, opt_state=opt_state, stats=stats
+            )
+            self.writer.write(
+                cur,
+                {
+                    "n_alive": info.n_alive,
+                    "n_culled": info.n_culled,
+                    "n_split": info.n_split,
+                    "n_dup": info.n_dup,
+                    "n_dropped": info.n_dropped,
+                },
+                prefix="refine",
+            )
+        if cfgt.steps_per_eval_image and cur % cfgt.steps_per_eval_image == 0:
+            self.eval_image(cur)
+        if (
+            cfgt.steps_per_eval_all_images
+            and cur % cfgt.steps_per_eval_all_images == 0
+        ):
+            self.eval_all(cur)
+        if cfgt.steps_per_save and cur % cfgt.steps_per_save == 0:
+            ckpt.save_checkpoint(self.run_dir / "ckpts", self.state, cur)
+        return key
+
+    def _dispatch_chunk(self) -> int:
+        """Steps per dispatch: explicit, or gcd of all step cadences."""
+        import math
+
+        if self.config.steps_per_dispatch:
+            return self.config.steps_per_dispatch
+        cads = [
+            self.cfg.refine_every, self.cfg.warmup_length,
+            self.cfg.resolution_schedule, self.cfg.stop_split_at,
+            self.cfg.stop_screen_size_at,
+            self.config.steps_per_eval_image,
+            self.config.steps_per_eval_all_images,
+            self.config.steps_per_save, self.config.max_num_iterations,
+            self.config.log_every,
+        ]
+        g = 0
+        for c in cads:
+            if c:
+                g = math.gcd(g, int(c))
+        return max(1, min(g or 1, 100))
+
+    def _device_dataset(self, d: int):
+        from qed_splatter_tpu.engine.scan_runner import DeviceDataset
+
+        key = ("devds", d)
+        if key not in self._step_fns:
+            items = [
+                self.dm.get_item(int(i)) for i in self.dm.train_indices
+            ]
+            self._step_fns[key] = DeviceDataset(
+                items, d, downscale_image, downscale_depth
+            )
+        return self._step_fns[key]
+
+    def _get_scan_fn(self, d: int, chunk: int, need_absgrad: bool,
+                     capacity: int):
+        from qed_splatter_tpu.engine.scan_runner import make_scan_steps
+
+        ds = self._device_dataset(d)
+        key = ("scan", d, chunk, need_absgrad, capacity)
+        if key not in self._step_fns:
+            self._step_fns[key] = make_scan_steps(
+                self.cfg, self.optims, ds, chunk,
+                need_absgrad=need_absgrad,
+            )
+        return self._step_fns[key], ds
+
+    def _use_scan(self) -> bool:
+        if self.mesh is not None or self.config.steps_per_dispatch == 1:
+            return False
+        if self._dispatch_chunk() <= 1:
+            return False
+        item = self.dm.get_item(int(self.dm.train_indices[0]))
+        per = item["image"].nbytes + (
+            item["depth_image"].nbytes if "depth_image" in item else 0
+        )
+        total = per * self.dm.num_train * 2  # + downscale buckets
+        return total <= self.config.max_device_cache_bytes
+
     def train(self, max_steps: Optional[int] = None) -> TrainState:
+        if self._use_scan():
+            return self._train_scan(max_steps)
+        return self._train_per_step(max_steps)
+
+    def _train_scan(self, max_steps: Optional[int] = None) -> TrainState:
+        """Multi-step scan dispatch: one device call per chunk of steps,
+        sampling cameras from a device-resident uint8 image cache
+        (engine.scan_runner) — amortizes host dispatch overhead that
+        otherwise bounds small-resolution throughput."""
+        cfgt = self.config
+        total = max_steps or cfgt.max_num_iterations
+        chunk = self._dispatch_chunk()
+        key = jax.random.PRNGKey(cfgt.seed)
+        start_step = int(self.state.step)
+        t0 = time.perf_counter()
+        queue: list = []
+        rng = np.random.default_rng(cfgt.seed)
+        step = start_step
+        while step < total:
+            n = min(chunk, total - step)
+            d = self._downscale_factor(step)
+            while len(queue) < n:
+                queue.extend(rng.permutation(self.dm.num_train).tolist())
+            perm = jnp.asarray(np.asarray(queue[:n], np.int32))
+            queue = queue[n:]
+            scan_fn, ds = self._get_scan_fn(
+                d, n, need_absgrad=(step < self.cfg.stop_split_at),
+                capacity=self.state.params.capacity,
+            )
+            key, sub = jax.random.split(key)
+            self.state, metrics = scan_fn(self.state, perm, sub)
+            step += n
+            last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
+            last["gaussian_count"] = int(self.state.params.num_alive())
+            self.writer.write(step, last, prefix="train")
+            if self.viewer is not None:
+                self.viewer.update(self.state.params, step)
+            key = self._callbacks(step, max(ds.width, ds.height), key)
+        wall = time.perf_counter() - t0
+        done = total - start_step
+        if done > 0:
+            print(
+                f"Trained {done} steps in {wall:.1f}s "
+                f"({done / max(wall, 1e-9):.2f} iters/s, chunk={chunk})"
+            )
+        ckpt.save_checkpoint(self.run_dir / "ckpts", self.state, total)
+        ckpt.export_ply(self.run_dir / "splat.ply", self.state.params)
+        return self.state
+
+    def _train_per_step(self, max_steps: Optional[int] = None) -> TrainState:
         cfgt = self.config
         total = max_steps or cfgt.max_num_iterations
         key = jax.random.PRNGKey(cfgt.seed)
@@ -285,46 +437,8 @@ class Trainer:
                 if self.viewer is not None:
                     self.viewer.update(self.state.params, cur)
 
-            # refinement callbacks (SURVEY D8)
-            if (
-                cur > self.cfg.warmup_length
-                and cur % self.cfg.refine_every == 0
-            ):
-                self._maybe_grow()
-                key, sub = jax.random.split(key)
-                params, opt_state, stats, info = self._refine_jit(
-                    self.state.params, self.state.opt_state, self.state.stats,
-                    self.state.step, sub, self.cfg,
-                    num_train_data=self.dm.num_train,
-                    max_hw=max(cam.width, cam.height),
-                )
-                params, opt_state = self._reset_jit(
-                    params, opt_state, self.state.step, self.cfg
-                )
-                self.state = self.state.replace(
-                    params=params, opt_state=opt_state, stats=stats
-                )
-                self.writer.write(
-                    cur,
-                    {
-                        "n_alive": info.n_alive,
-                        "n_culled": info.n_culled,
-                        "n_split": info.n_split,
-                        "n_dup": info.n_dup,
-                        "n_dropped": info.n_dropped,
-                    },
-                    prefix="refine",
-                )
-
-            if cfgt.steps_per_eval_image and cur % cfgt.steps_per_eval_image == 0:
-                self.eval_image(cur)
-            if (
-                cfgt.steps_per_eval_all_images
-                and cur % cfgt.steps_per_eval_all_images == 0
-            ):
-                self.eval_all(cur)
-            if cfgt.steps_per_save and cur % cfgt.steps_per_save == 0:
-                ckpt.save_checkpoint(self.run_dir / "ckpts", self.state, cur)
+            # refinement / eval / checkpoint cadences
+            key = self._callbacks(cur, max(cam.width, cam.height), key)
 
         wall = time.perf_counter() - t0
         done = total - start_step

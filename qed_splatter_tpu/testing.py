@@ -112,6 +112,109 @@ def write_synthetic_dataset(
         json.dump(meta, fh, indent=2)
 
 
+def write_gaussian_dataset(
+    root,
+    num_frames: int = 30,
+    width: int = 640,
+    height: int = 480,
+    num_teacher: int = 4000,
+    seed: int = 0,
+    depth_unit: float = 1000.0,
+    eval_every: int = 0,
+) -> None:
+    """Render a procedural gaussian 'teacher' scene into an on-disk RGB-D
+    nerfstudio dataset (BASELINE config #1 shape: tiny indoor 480p RGB-D).
+
+    The teacher is a random clustered gaussian cloud rendered with this
+    framework's own (oracle-tested) renderer, so the targets are exactly
+    reconstructable and PSNR convergence is a meaningful end-to-end check.
+    """
+    import json
+    from pathlib import Path
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from qed_splatter_tpu.configs import ModelConfig
+    from qed_splatter_tpu.models.gaussians import init_from_points
+    from qed_splatter_tpu.models.splatfacto import render
+
+    root = Path(root)
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    (root / "depth").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    # clustered teacher cloud: a few blobs + a ground slab, colorful
+    centers = rng.uniform(-0.9, 0.9, (8, 3)).astype(np.float32)
+    centers[:, 2] = centers[:, 2] * 0.4 + 3.0
+    pts = []
+    cols = []
+    for c in centers:
+        k = num_teacher // 10
+        pts.append(c + rng.normal(scale=0.18, size=(k, 3)).astype(np.float32))
+        base = rng.uniform(0.15, 1.0, 3)
+        cols.append(
+            np.clip(base + rng.normal(scale=0.1, size=(k, 3)), 0, 1)
+        )
+    k = num_teacher - sum(len(p) for p in pts)
+    slab = rng.uniform(-1.4, 1.4, (k, 3)).astype(np.float32)
+    slab[:, 1] = -0.9 + 0.03 * rng.normal(size=k)
+    slab[:, 2] = slab[:, 2] * 0.6 + 3.0
+    pts.append(slab)
+    cols.append(
+        np.stack([0.4 + 0.2 * np.cos(slab[:, 0] * 7),
+                  0.45 + 0.2 * np.sin(slab[:, 2] * 5),
+                  np.full(k, 0.35)], axis=1)
+    )
+    pts = np.concatenate(pts).astype(np.float32)
+    cols = (np.clip(np.concatenate(cols), 0, 1) * 255).astype(np.uint8)
+
+    teacher = init_from_points(pts, cols, capacity=_round_up(len(pts)))
+    teacher = teacher.replace(
+        scales=jnp.minimum(teacher.scales + 0.7, np.log(0.3)),
+        opacities=jnp.full_like(teacher.opacities, 1.5),
+    )
+    cfg = ModelConfig(background_color="black", camera_opt_mode="off",
+                      max_per_tile=256)
+    f = 0.75 * max(width, height)
+    K = np.array(
+        [[f, 0, width / 2.0], [0, f, height / 2.0], [0, 0, 1]], np.float32
+    )
+    frames = []
+    for i in range(num_frames):
+        az = 1.2 * (i / max(num_frames - 1, 1) - 0.5)
+        el = 0.15 + 0.1 * np.sin(2.1 * i)
+        c2w = orbit_c2w_opengl(2.6, az, el, target=(0.0, 0.0, 3.0))
+        out = render(teacher, jnp.asarray(c2w), jnp.asarray(K),
+                     width, height, cfg, step=jnp.asarray(10_000),
+                     train=False)
+        rgb = np.clip(np.asarray(out.rgb) * 255, 0, 255).astype(np.uint8)
+        depth_m = np.asarray(out.depth[..., 0])
+        # mark sky / empty pixels invalid like a real RGB-D sensor
+        acc = np.asarray(out.accumulation[..., 0])
+        depth_m = np.where(acc > 0.5, depth_m, 0.0)
+        Image.fromarray(rgb).save(root / "images" / f"frame_{i:04d}.png")
+        np.save(root / "depth" / f"frame_{i:04d}.npy",
+                (depth_m * depth_unit).astype(np.float32))
+        frames.append({
+            "file_path": f"images/frame_{i:04d}.png",
+            "depth_file_path": f"depth/frame_{i:04d}.npy",
+            "transform_matrix": c2w.tolist(),
+        })
+    meta = {
+        "fl_x": float(f), "fl_y": float(f),
+        "cx": width / 2.0, "cy": height / 2.0,
+        "w": width, "h": height,
+        "frames": frames,
+    }
+    with open(root / "transforms.json", "w") as fh:
+        json.dump(meta, fh, indent=2)
+
+
+def _round_up(n, m=256):
+    return ((n + m - 1) // m) * m
+
+
 def orbit_c2w_opengl(
     radius: float, azimuth: float, elevation: float, target=(0.0, 0.0, 3.0)
 ) -> np.ndarray:

@@ -145,3 +145,54 @@ def test_numerical_gradcheck_small():
         e = jnp.zeros_like(g_opac).at[idx].set(epsv)
         fd = (float(f(g_opac + e)) - float(f(g_opac - e))) / (2 * epsv)
         np.testing.assert_allclose(g[idx], fd, rtol=2e-2, atol=1e-4)
+
+
+def test_antialiased_full_pipeline_parity():
+    """classic vs antialiased modes through projection + both rasterizers."""
+    import jax
+
+    scene = random_scene(n=128, seed=11, scale_range=(0.002, 0.08))
+    viewmat, Km = simple_camera(width=W, height=H, f=60.0)
+    for antialiased in (False, True):
+        res = project_gaussians(
+            jnp.asarray(scene["means"]), jnp.asarray(scene["quats"]),
+            jnp.asarray(scene["scales"]), jnp.asarray(viewmat),
+            jnp.asarray(Km), W, H, antialiased=antialiased,
+        )
+        opac = jnp.asarray(scene["opacities"]) * res.compensations[0]
+        binning = bin_gaussians(
+            res.means2d[0], res.radii[0], res.depths[0], W, H,
+            max_per_tile=K,
+        )
+        args = (binning.tile_lists, res.means2d[0], res.conics[0],
+                jnp.asarray(scene["colors"]), opac, W, H,
+                binning.num_tiles_x)
+        a = rasterize_tiles(*args)
+        b = rasterize_tiles_pallas(*args)
+        np.testing.assert_allclose(
+            np.asarray(b.render), np.asarray(a.render), atol=1e-4,
+            err_msg=f"antialiased={antialiased}",
+        )
+
+
+def test_vmap_over_cameras():
+    """The Pallas path composes with vmap (the sharded multi-camera step)."""
+    import jax
+
+    res, colors, opac, binning = _projected(n=64, seed=13)
+    m2d = jnp.stack([res.means2d[0], res.means2d[0] + 0.5])
+    con = jnp.stack([res.conics[0]] * 2)
+    tl = jnp.stack([binning.tile_lists] * 2)
+
+    def one(tl_i, m2d_i, con_i):
+        out = rasterize_tiles_pallas(
+            tl_i, m2d_i, con_i, colors, opac, W, H, binning.num_tiles_x
+        )
+        return out.render
+
+    batched = jax.vmap(one)(tl, m2d, con)
+    single = one(tl[0], m2d[0], con[0])
+    np.testing.assert_allclose(
+        np.asarray(batched[0]), np.asarray(single), atol=1e-5
+    )
+    assert batched.shape == (2, H, W, 3)
