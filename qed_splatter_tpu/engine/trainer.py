@@ -455,12 +455,23 @@ class Trainer:
 
     def _render_eval(self, item: Dict, d: int = 1):
         cam = item["camera"].rescaled(1.0 / d) if d > 1 else item["camera"]
-        out = render(
+        key = ("eval_render", cam.width, cam.height,
+               self.state.params.capacity)
+        if key not in self._step_fns:
+            w, h = cam.width, cam.height
+
+            @jax.jit
+            def _eval_fn(params, c2w, K, step):
+                return render(
+                    params, c2w, K, w, h, self.cfg, step=step, train=False
+                )
+
+            self._step_fns[key] = _eval_fn
+        out = self._step_fns[key](
             self.state.params,
             jnp.asarray(cam.c2w),
             jnp.asarray(cam.intrinsics_matrix()),
-            cam.width, cam.height, self.cfg,
-            step=self.state.step, train=False,
+            self.state.step,
         )
         return out, cam
 

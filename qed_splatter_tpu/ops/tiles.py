@@ -84,6 +84,17 @@ def bin_gaussians(
     tx = x0[:, None] + j % bw_safe
     ty = y0[:, None] + j // bw_safe
     pair_valid = (j < area[:, None])
+    # exact circle-tile test: drop bbox cells farther from the mean than the
+    # 3-sigma radius (every alpha in such a cell is below the compositing
+    # cutoff). Roughly halves the pair count for large gaussians and keeps
+    # the capped per-tile lists filled with real contributors.
+    cx = jnp.clip(mx[:, None], tx.astype(means2d.dtype) * tile_size,
+                  (tx + 1).astype(means2d.dtype) * tile_size)
+    cy = jnp.clip(my[:, None], ty.astype(means2d.dtype) * tile_size,
+                  (ty + 1).astype(means2d.dtype) * tile_size)
+    dx = mx[:, None] - cx
+    dy = my[:, None] - cy
+    pair_valid &= (dx * dx + dy * dy) <= (r * r)[:, None]
     keys = jnp.where(
         pair_valid, ty * num_tiles_x + tx, num_tiles
     ).astype(jnp.int32)                                     # [N, TPG]

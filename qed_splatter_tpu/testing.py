@@ -189,9 +189,12 @@ def write_gaussian_dataset(
                      width, height, cfg, step=jnp.asarray(10_000),
                      train=False)
         rgb = np.clip(np.asarray(out.rgb) * 255, 0, 255).astype(np.uint8)
-        depth_m = np.asarray(out.depth[..., 0])
-        # mark sky / empty pixels invalid like a real RGB-D sensor
+        # emulate an RGB-D sensor: true surface depth = accumulated depth
+        # normalized by alpha (the raw RGB+D channel is alpha-weighted and
+        # biases toward the camera wherever alpha < 1), invalid where the
+        # ray hits nothing
         acc = np.asarray(out.accumulation[..., 0])
+        depth_m = np.asarray(out.depth[..., 0]) / np.maximum(acc, 1e-6)
         depth_m = np.where(acc > 0.5, depth_m, 0.0)
         Image.fromarray(rgb).save(root / "images" / f"frame_{i:04d}.png")
         np.save(root / "depth" / f"frame_{i:04d}.npy",
