@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -94,8 +95,12 @@ def project_gaussians(
     cx = Ks[:, 0, 2].astype(f32)[:, None]
     cy = Ks[:, 1, 2].astype(f32)[:, None]
 
-    # Camera-space means: [C, N, 3]
-    p_cam = jnp.einsum("cij,nj->cni", R, means) + t[:, None, :]
+    # Camera-space means: [C, N, 3]. HIGHEST precision: the TPU default
+    # (bf16 matmul) costs ~0.2% relative error = sub-pixel jitter on
+    # means2d; these contractions are tiny, full f32 is free.
+    p_cam = jnp.einsum(
+        "cij,nj->cni", R, means, precision=jax.lax.Precision.HIGHEST
+    ) + t[:, None, :]
     z = p_cam[..., 2]
     in_depth = (z > near_plane) & (z < far_plane)
     z_safe = jnp.where(in_depth, z, 1.0)
@@ -120,8 +125,12 @@ def project_gaussians(
 
     # 3D covariance in camera frame: cov_cam = (R M)(R M)^T, [C, N, 3, 3].
     M = covariance3d_sqrt(quats.astype(f32), scales.astype(f32))  # [N, 3, 3]
-    RM = jnp.einsum("cij,njk->cnik", R, M)
-    cov_cam = jnp.einsum("cnik,cnjk->cnij", RM, RM)
+    RM = jnp.einsum(
+        "cij,njk->cnik", R, M, precision=jax.lax.Precision.HIGHEST
+    )
+    cov_cam = jnp.einsum(
+        "cnik,cnjk->cnij", RM, RM, precision=jax.lax.Precision.HIGHEST
+    )
 
     # EWA Jacobian J = d(pixel)/d(cam): [[fx/z, 0, -fx tx/z^2],
     #                                    [0, fy/z, -fy ty/z^2]]

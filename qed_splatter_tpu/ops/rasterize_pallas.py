@@ -60,23 +60,44 @@ def _tri_strict_lower(k: int, dtype=jnp.float32):
     return (rows < cols).astype(dtype)
 
 
-def _excl_cumprod(one_minus):
-    """Exclusive cumulative product along the last (K) axis.
+_CUM_BLOCK = 128
 
-    Log-space cumulative sum as a [P, K] x [K, K] triangular MXU matmul.
+
+def _excl_cumsum_last(x):
+    """Exclusive cumulative sum along the last (K) axis.
+
+    Hierarchical: strictly-triangular MXU matmuls within 128-wide blocks
+    plus scalar block offsets — K/128x fewer FLOPs than one [K, K] matmul
+    (cumsum/cumprod have no efficient Pallas TPU lowering)."""
+    k = x.shape[-1]
+    if k <= _CUM_BLOCK:
+        return jnp.dot(x, _tri_strict_lower(k),
+                       preferred_element_type=jnp.float32)
+    assert k % _CUM_BLOCK == 0
+    tri = _tri_strict_lower(_CUM_BLOCK)
+    parts = []
+    offset = jnp.zeros(x.shape[:-1] + (1,), jnp.float32)
+    for b in range(k // _CUM_BLOCK):
+        blk = x[..., b * _CUM_BLOCK:(b + 1) * _CUM_BLOCK]
+        parts.append(
+            jnp.dot(blk, tri, preferred_element_type=jnp.float32) + offset
+        )
+        offset = offset + jnp.sum(blk, axis=-1, keepdims=True)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _excl_cumprod(one_minus):
+    """Exclusive cumulative product along the last (K) axis, in log space.
+
     Safe: alpha <= 0.999 keeps log(1 - alpha) >= log(1e-3)."""
-    k = one_minus.shape[-1]
     logs = jnp.log(jnp.maximum(one_minus, 1e-6))
-    excl = jnp.dot(logs, _tri_strict_lower(k),
-                   preferred_element_type=jnp.float32)
-    return jnp.exp(excl)
+    return jnp.exp(_excl_cumsum_last(logs))
 
 
 def _excl_suffix_sum(x):
-    """R[:, k] = sum_{j > k} x[:, j] via the transposed triangular matmul."""
-    k = x.shape[-1]
-    return jnp.dot(x, _tri_strict_lower(k).T,
-                   preferred_element_type=jnp.float32)
+    """R[:, k] = sum_{j > k} x[:, j] = total - inclusive prefix."""
+    total = jnp.sum(x, axis=-1, keepdims=True)
+    return total - (_excl_cumsum_last(x) + x)
 
 
 def _alphas(means_ref, conics_ref, opac_ref, tile_idx, num_tiles_x,

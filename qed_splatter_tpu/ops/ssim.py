@@ -42,13 +42,17 @@ def _blur_batch(imgs: jnp.ndarray, kernel_size: int, sigma: float
     kh = jnp.tile(g.reshape(kernel_size, 1, 1, 1), (1, 1, 1, b * c))
     kw = jnp.tile(g.reshape(1, kernel_size, 1, 1), (1, 1, 1, b * c))
     dn = lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
+    # HIGHEST precision: TPU convs default to bf16, whose ~0.8% relative
+    # error breaks the E[x^2] - E[x]^2 variance cancellation (var sums go
+    # below -c2 and SSIM explodes; observed as negative photometric loss
+    # spikes -> NaN training)
     x = lax.conv_general_dilated(
         x, kh, (1, 1), "VALID", dimension_numbers=dn,
-        feature_group_count=b * c,
+        feature_group_count=b * c, precision=lax.Precision.HIGHEST,
     )
     x = lax.conv_general_dilated(
         x, kw, (1, 1), "VALID", dimension_numbers=dn,
-        feature_group_count=b * c,
+        feature_group_count=b * c, precision=lax.Precision.HIGHEST,
     )
     hh, ww = x.shape[1], x.shape[2]
     return x.reshape(hh, ww, b, c).transpose(2, 0, 1, 3)
