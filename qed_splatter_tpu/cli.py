@@ -160,24 +160,14 @@ def cmd_export(argv) -> int:
     parser = argparse.ArgumentParser(prog="qed-export")
     parser.add_argument("--load-dir", required=True)
     parser.add_argument("--output", default="splat.ply")
-    parser.add_argument("--capacity", type=int, required=True,
-                        help="capacity of the checkpointed state")
-    parser.add_argument("--num-cameras", type=int, default=1)
-    parser.add_argument("--sh-degree", type=int, default=3)
     parser.add_argument("--pointcloud", action="store_true",
                         help="write plain xyz/rgb instead of 3DGS layout")
     ns = parser.parse_args(argv)
-    latest = ckpt.latest_checkpoint(ns.load_dir)
-    if latest is None:
-        print(f"error: no checkpoint under {ns.load_dir}", file=sys.stderr)
+    try:
+        state = ckpt.load_state(ns.load_dir)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
         return 2
-    template = init_train_state(
-        init_random(num_points=16, capacity=ns.capacity,
-                    sh_degree=ns.sh_degree),
-        GroupOptimizers(default_optimizers()),
-        num_cameras=ns.num_cameras,
-    )
-    state = ckpt.restore_checkpoint(latest, template)
     if ns.pointcloud:
         n = ckpt.export_pointcloud_ply(ns.output, state.params)
     else:
@@ -201,20 +191,13 @@ def cmd_view(argv) -> int:
 
     parser = argparse.ArgumentParser(prog="qed-view")
     parser.add_argument("--load-dir", required=True)
-    parser.add_argument("--capacity", type=int, required=True)
-    parser.add_argument("--num-cameras", type=int, default=1)
     parser.add_argument("--port", type=int, default=7007)
     ns = parser.parse_args(argv)
-    latest = ckpt.latest_checkpoint(ns.load_dir)
-    if latest is None:
-        print(f"error: no checkpoint under {ns.load_dir}", file=sys.stderr)
+    try:
+        state = ckpt.load_state(ns.load_dir)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
         return 2
-    template = init_train_state(
-        init_random(num_points=16, capacity=ns.capacity),
-        GroupOptimizers(default_optimizers()),
-        num_cameras=ns.num_cameras,
-    )
-    state = ckpt.restore_checkpoint(latest, template)
     # center the orbit on the alive gaussians
     alive = np.asarray(state.params.alive)
     means = np.asarray(state.params.means)[alive]
@@ -246,8 +229,6 @@ def cmd_render(argv) -> int:
 
     parser = argparse.ArgumentParser(prog="qed-render")
     parser.add_argument("--load-dir", required=True)
-    parser.add_argument("--capacity", type=int, required=True)
-    parser.add_argument("--num-cameras", type=int, default=1)
     parser.add_argument("--output-dir", default="renders")
     parser.add_argument("--mode", choices=["orbit", "eval"], default="orbit")
     parser.add_argument("--data", default=None,
@@ -268,16 +249,11 @@ def cmd_render(argv) -> int:
     from qed_splatter_tpu.models.splatfacto import render
     from qed_splatter_tpu.testing import orbit_c2w_opengl
 
-    latest = ckpt.latest_checkpoint(ns.load_dir)
-    if latest is None:
-        print(f"error: no checkpoint under {ns.load_dir}", file=sys.stderr)
+    try:
+        state = ckpt.load_state(ns.load_dir)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
         return 2
-    template = init_train_state(
-        init_random(num_points=16, capacity=ns.capacity),
-        GroupOptimizers(default_optimizers()),
-        num_cameras=ns.num_cameras,
-    )
-    state = ckpt.restore_checkpoint(latest, template)
     cfg = ModelConfig()
     out_dir = Path(ns.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

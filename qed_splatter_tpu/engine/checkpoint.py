@@ -29,10 +29,56 @@ def save_checkpoint(ckpt_dir, state: TrainState, step: int) -> Path:
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
-    (ckpt_dir / "latest.json").write_text(
-        json.dumps({"step": step, "path": path.name})
-    )
+    meta = {
+        "step": step,
+        "path": path.name,
+        # state-shape metadata so export/view/render can rebuild the
+        # restore template without user-supplied flags
+        "capacity": int(state.params.capacity),
+        "num_cameras": int(state.camera_opt.shape[0]),
+        "sh_degree": int(state.params.sh_degree),
+        "use_bilateral_grid": state.bilateral_grids is not None,
+        "bilateral_grid_shape": (
+            list(state.bilateral_grids.shape[1:4])
+            if state.bilateral_grids is not None else None
+        ),
+    }
+    (ckpt_dir / "latest.json").write_text(json.dumps(meta))
     return path
+
+
+def checkpoint_meta(ckpt_dir) -> Optional[dict]:
+    meta = Path(ckpt_dir) / "latest.json"
+    if meta.exists():
+        return json.loads(meta.read_text())
+    return None
+
+
+def load_state(ckpt_dir) -> TrainState:
+    """Restore the latest checkpoint using its recorded shape metadata."""
+    from qed_splatter_tpu.configs import default_optimizers
+    from qed_splatter_tpu.engine.optim import GroupOptimizers
+    from qed_splatter_tpu.engine.train_step import init_train_state
+    from qed_splatter_tpu.models.gaussians import init_random
+
+    latest = latest_checkpoint(ckpt_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    meta = checkpoint_meta(ckpt_dir) or {}
+    template = init_train_state(
+        init_random(
+            num_points=16,
+            capacity=int(meta.get("capacity", 65536)),
+            sh_degree=int(meta.get("sh_degree", 3)),
+        ),
+        GroupOptimizers(default_optimizers()),
+        num_cameras=int(meta.get("num_cameras", 1)),
+        use_bilateral_grid=bool(meta.get("use_bilateral_grid", False)),
+        bilateral_grid_shape=tuple(
+            meta.get("bilateral_grid_shape") or (16, 16, 8)
+        ),
+    )
+    return restore_checkpoint(latest, template)
 
 
 def latest_checkpoint(ckpt_dir) -> Optional[Path]:
