@@ -134,22 +134,43 @@ void qed_nn_distances(const float* queries, int64_t nq, const float* refs,
   float inv = 1.0f / cell_size;
   std::unordered_map<CellKey, std::vector<int32_t>, CellHash> grid;
   grid.reserve(static_cast<size_t>(nr));
+  int64_t cell_lo[3] = {INT64_MAX, INT64_MAX, INT64_MAX};
+  int64_t cell_hi[3] = {INT64_MIN, INT64_MIN, INT64_MIN};
   for (int64_t i = 0; i < nr; ++i) {
     const float* p = refs + 3 * i;
-    grid[{cell_of(p[0], inv), cell_of(p[1], inv), cell_of(p[2], inv)}]
-        .push_back(static_cast<int32_t>(i));
+    CellKey k{cell_of(p[0], inv), cell_of(p[1], inv), cell_of(p[2], inv)};
+    grid[k].push_back(static_cast<int32_t>(i));
+    int64_t kc[3] = {k.x, k.y, k.z};
+    for (int d = 0; d < 3; ++d) {
+      cell_lo[d] = std::min(cell_lo[d], kc[d]);
+      cell_hi[d] = std::max(cell_hi[d], kc[d]);
+    }
   }
 
   parallel_for(nq, [&](int64_t lo_i, int64_t hi_i) {
     for (int64_t i = lo_i; i < hi_i; ++i) {
       const float* q = queries + 3 * i;
-      int64_t cx = cell_of(q[0], inv), cy = cell_of(q[1], inv),
-              cz = cell_of(q[2], inv);
+      // search rings around the query cell CLAMPED into the occupied grid
+      // bbox: rings around a far-away query cell would otherwise sweep an
+      // unbounded sea of empty cells (observed multi-minute hangs on
+      // disjoint clouds)
+      int64_t qc[3] = {cell_of(q[0], inv), cell_of(q[1], inv),
+                       cell_of(q[2], inv)};
+      int64_t cx = std::clamp(qc[0], cell_lo[0], cell_hi[0]);
+      int64_t cy = std::clamp(qc[1], cell_lo[1], cell_hi[1]);
+      int64_t cz = std::clamp(qc[2], cell_lo[2], cell_hi[2]);
+      // distance from the query to the clamped cell's center (loose bound
+      // used in the termination rule)
+      float ccx = (cx + 0.5f) * cell_size, ccy = (cy + 0.5f) * cell_size,
+            ccz = (cz + 0.5f) * cell_size;
+      float dq = std::sqrt((q[0] - ccx) * (q[0] - ccx) +
+                           (q[1] - ccy) * (q[1] - ccy) +
+                           (q[2] - ccz) * (q[2] - ccz));
+      int64_t max_ring = 0;
+      for (int d = 0; d < 3; ++d)
+        max_ring = std::max(max_ring, cell_hi[d] - cell_lo[d] + 1);
       float best = INFINITY;
-      for (int ring = 0;; ++ring) {
-        // ring `ring` fully contains all points nearer than
-        // (ring) * cell_size from the query's cell boundary
-        bool any = false;
+      for (int64_t ring = 0; ring <= max_ring; ++ring) {
         for (int64_t dx = -ring; dx <= ring; ++dx)
           for (int64_t dy = -ring; dy <= ring; ++dy)
             for (int64_t dz = -ring; dz <= ring; ++dz) {
@@ -158,7 +179,6 @@ void qed_nn_distances(const float* queries, int64_t nq, const float* refs,
                 continue;  // shell only
               auto it = grid.find({cx + dx, cy + dy, cz + dz});
               if (it == grid.end()) continue;
-              any = true;
               for (int32_t j : it->second) {
                 const float* r = refs + 3 * j;
                 float ddx = q[0] - r[0], ddy = q[1] - r[1], ddz = q[2] - r[2];
@@ -166,12 +186,10 @@ void qed_nn_distances(const float* queries, int64_t nq, const float* refs,
                 best = std::min(best, d2);
               }
             }
-        (void)any;
-        // stop when the next shell cannot contain anything closer
-        float safe = ring * cell_size;
-        if (best <= safe * safe) break;
-        if (ring > 1 && std::isinf(best) && ring * cell_size > 1e8f) break;
-        if (ring >= 4096) break;  // pathological guard
+        // every unexplored cell lies at Chebyshev > ring from the clamped
+        // cell, i.e. at distance > ring*cell - dq - cell_diag from the query
+        float safe = ring * cell_size - dq - 1.7321f * cell_size;
+        if (safe > 0.0f && best <= safe * safe) break;
       }
       out_dist[i] = std::sqrt(best);
     }

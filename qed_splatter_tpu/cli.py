@@ -168,10 +168,11 @@ def cmd_export(argv) -> int:
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    meta = ckpt.checkpoint_meta(ns.load_dir)
     if ns.pointcloud:
-        n = ckpt.export_pointcloud_ply(ns.output, state.params)
+        n = ckpt.export_pointcloud_ply(ns.output, state.params, meta)
     else:
-        n = ckpt.export_ply(ns.output, state.params)
+        n = ckpt.export_ply(ns.output, state.params, meta)
     print(f"Wrote {n} gaussians to {ns.output}")
     return 0
 

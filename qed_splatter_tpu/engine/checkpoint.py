@@ -22,7 +22,9 @@ from qed_splatter_tpu.engine.train_step import TrainState
 from qed_splatter_tpu.models.gaussians import GaussianParams, sh_dc_to_rgb
 
 
-def save_checkpoint(ckpt_dir, state: TrainState, step: int) -> Path:
+def save_checkpoint(ckpt_dir, state: TrainState, step: int,
+                    dataparser_transform=None,
+                    dataparser_scale: float = 1.0) -> Path:
     ckpt_dir = Path(ckpt_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"step-{step:09d}"
@@ -42,6 +44,13 @@ def save_checkpoint(ckpt_dir, state: TrainState, step: int) -> Path:
             list(state.bilateral_grids.shape[1:4])
             if state.bilateral_grids is not None else None
         ),
+        # dataparser normalization (for inverse-transform on export, the
+        # ns-export behavior): world = R^T ((p / scale) - t)
+        "dataparser_transform": (
+            np.asarray(dataparser_transform).tolist()
+            if dataparser_transform is not None else None
+        ),
+        "dataparser_scale": float(dataparser_scale),
     }
     (ckpt_dir / "latest.json").write_text(json.dumps(meta))
     return path
@@ -104,9 +113,25 @@ def restore_checkpoint(path, template: TrainState) -> TrainState:
     return ckptr.restore(Path(path).absolute(), target)
 
 
-def export_ply(path, params: GaussianParams) -> int:
+def _inverse_transform(means: np.ndarray, scales_log: np.ndarray, meta):
+    """Undo the dataparser's orient/center/scale normalization
+    (nerfstudio ns-export behavior) so exports land in input-world coords."""
+    if not meta or meta.get("dataparser_transform") is None:
+        return means, scales_log
+    t34 = np.asarray(meta["dataparser_transform"], np.float64)
+    scale = float(meta.get("dataparser_scale", 1.0))
+    R, t = t34[:3, :3], t34[:3, 3]
+    out = (means.astype(np.float64) / scale - t) @ R  # R^-1 = R^T, rows
+    return out.astype(np.float32), (
+        scales_log - np.log(max(scale, 1e-12))
+    ).astype(np.float32)
+
+
+def export_ply(path, params: GaussianParams, meta=None) -> int:
     """Write alive gaussians as a 3DGS-interchange PLY (positions, normals=0,
-    SH features, opacity, scales, quats) readable by standard splat viewers."""
+    SH features, opacity, scales, quats) readable by standard splat viewers.
+    ``meta`` (checkpoint_meta dict) enables the inverse dataparser
+    transform back to input-world coordinates."""
     alive = np.asarray(params.alive)
     idx = np.flatnonzero(alive)
     n = len(idx)
@@ -116,6 +141,7 @@ def export_ply(path, params: GaussianParams) -> int:
     opac = np.asarray(params.opacities)[idx]
     scales = np.asarray(params.scales)[idx]
     quats = np.asarray(params.quats)[idx]
+    means, scales = _inverse_transform(means, scales, meta)
 
     props = [("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
              ("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")]
@@ -153,7 +179,7 @@ def export_ply(path, params: GaussianParams) -> int:
     return n
 
 
-def export_pointcloud_ply(path, params: GaussianParams) -> int:
+def export_pointcloud_ply(path, params: GaussianParams, meta=None) -> int:
     """Write alive gaussian centers + dc colors as a plain xyz/rgb PLY
     (for PDMetrics accuracy/completeness eval)."""
     from qed_splatter_tpu.data.ply import write_ply
@@ -161,6 +187,9 @@ def export_pointcloud_ply(path, params: GaussianParams) -> int:
     alive = np.asarray(params.alive)
     idx = np.flatnonzero(alive)
     means = np.asarray(params.means)[idx]
+    means, _ = _inverse_transform(
+        means, np.zeros((len(idx), 3), np.float32), meta
+    )
     rgb = np.clip(np.asarray(sh_dc_to_rgb(params.features_dc))[idx], 0, 1)
     write_ply(path, means, rgb)
     return len(idx)

@@ -283,7 +283,11 @@ class Trainer:
         ):
             self.eval_all(cur)
         if cfgt.steps_per_save and cur % cfgt.steps_per_save == 0:
-            ckpt.save_checkpoint(self.run_dir / "ckpts", self.state, cur)
+            ckpt.save_checkpoint(
+                self.run_dir / "ckpts", self.state, cur,
+                dataparser_transform=self.dm.scene.transform_matrix,
+                dataparser_scale=self.dm.scene.scale_factor,
+            )
         return key
 
     def _dispatch_chunk(self) -> int:
@@ -391,8 +395,13 @@ class Trainer:
                 f"Trained {done} steps in {wall:.1f}s "
                 f"({done / max(wall, 1e-9):.2f} iters/s, chunk={chunk})"
             )
-        ckpt.save_checkpoint(self.run_dir / "ckpts", self.state, total)
-        ckpt.export_ply(self.run_dir / "splat.ply", self.state.params)
+        ckpt.save_checkpoint(
+            self.run_dir / "ckpts", self.state, total,
+            dataparser_transform=self.dm.scene.transform_matrix,
+            dataparser_scale=self.dm.scene.scale_factor,
+        )
+        meta = ckpt.checkpoint_meta(self.run_dir / "ckpts")
+        ckpt.export_ply(self.run_dir / "splat.ply", self.state.params, meta)
         return self.state
 
     def _train_per_step(self, max_steps: Optional[int] = None) -> TrainState:
@@ -447,8 +456,13 @@ class Trainer:
                 f"Trained {done} steps in {wall:.1f}s "
                 f"({done / max(wall, 1e-9):.2f} iters/s)"
             )
-        ckpt.save_checkpoint(self.run_dir / "ckpts", self.state, total)
-        ckpt.export_ply(self.run_dir / "splat.ply", self.state.params)
+        ckpt.save_checkpoint(
+            self.run_dir / "ckpts", self.state, total,
+            dataparser_transform=self.dm.scene.transform_matrix,
+            dataparser_scale=self.dm.scene.scale_factor,
+        )
+        meta = ckpt.checkpoint_meta(self.run_dir / "ckpts")
+        ckpt.export_ply(self.run_dir / "splat.ply", self.state.params, meta)
         return self.state
 
     # -------------------------------------------------------------- eval

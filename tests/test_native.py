@@ -69,3 +69,18 @@ def test_backproject_matches_jax():
         got[wv], np.asarray(want_pts)[wv], atol=1e-4
     )
     assert np.isnan(got[~wv]).all()
+
+
+def test_nn_distances_disjoint_clouds():
+    """Far-apart clouds must terminate fast and stay exact (regression:
+    unbounded ring sweep on disjoint clouds)."""
+    import time
+
+    rng = np.random.default_rng(4)
+    r = rng.normal(size=(2000, 3)).astype(np.float32)
+    q = (rng.normal(size=(500, 3)) + 500.0).astype(np.float32)
+    t0 = time.time()
+    got = native.nn_distances_native(q, r)
+    assert time.time() - t0 < 5.0
+    want, _ = cKDTree(r).query(q)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
