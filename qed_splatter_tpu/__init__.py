@@ -15,3 +15,11 @@ docstrings throughout the package.
 """
 
 __version__ = "0.1.0"
+
+# Convenience surface (heavier subsystems import lazily from their modules)
+from qed_splatter_tpu.configs import (  # noqa: F401,E402
+    DataConfig,
+    ModelConfig,
+    TrainerConfig,
+    default_optimizers,
+)

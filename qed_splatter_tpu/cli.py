@@ -5,10 +5,13 @@ config field is a CLI flag (pyproject.toml:14-19 entry points; tyro overlay
 at config.py:25), plus the ``qed-init-pc`` console script
 (create_init_pointcloud.py:513-515). Here:
 
-    python -m qed_splatter_tpu.cli train --data PATH [--model.depth-lambda 0.2 ...]
-    python -m qed_splatter_tpu.cli eval --load-dir outputs/.../ckpts --data PATH
-    python -m qed_splatter_tpu.cli init-pc --data PATH [--stride 4 ...]
-    python -m qed_splatter_tpu.cli export --load-dir ... --output splat.ply
+    qed train --data PATH [--model.depth-lambda 0.2 ...]
+    qed eval --data PATH --load-dir outputs/.../ckpts
+    qed init-pc --data PATH [--stride 4 ...]
+    qed export --load-dir ... --output splat.ply [--pointcloud]
+    qed render --load-dir ... --mode orbit|eval [--depth]
+    qed view --load-dir ... [--port 7007]
+    qed eval-pc --pred recon.ply --gt scan.ply
 
 Flags are generated from the config dataclasses: nested fields use dotted
 prefixes (``--model.sh-degree``), booleans get ``--x / --no-x`` pairs,
