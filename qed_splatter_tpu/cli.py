@@ -155,10 +155,6 @@ def cmd_init_pc(argv) -> int:
 
 def cmd_export(argv) -> int:
     from qed_splatter_tpu.engine import checkpoint as ckpt
-    from qed_splatter_tpu.engine.optim import GroupOptimizers
-    from qed_splatter_tpu.engine.train_step import init_train_state
-    from qed_splatter_tpu.configs import default_optimizers
-    from qed_splatter_tpu.models.gaussians import init_random
 
     parser = argparse.ArgumentParser(prog="qed-export")
     parser.add_argument("--load-dir", required=True)
@@ -186,11 +182,7 @@ def cmd_view(argv) -> int:
 
     import numpy as np
 
-    from qed_splatter_tpu.configs import ModelConfig, default_optimizers
     from qed_splatter_tpu.engine import checkpoint as ckpt
-    from qed_splatter_tpu.engine.optim import GroupOptimizers
-    from qed_splatter_tpu.engine.train_step import init_train_state
-    from qed_splatter_tpu.models.gaussians import init_random
     from qed_splatter_tpu.viewer import Viewer
 
     parser = argparse.ArgumentParser(prog="qed-view")
@@ -202,11 +194,12 @@ def cmd_view(argv) -> int:
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    cfg = ckpt.model_config_from_meta(ckpt.checkpoint_meta(ns.load_dir))
     # center the orbit on the alive gaussians
     alive = np.asarray(state.params.alive)
     means = np.asarray(state.params.means)[alive]
     target = tuple(means.mean(0)) if len(means) else (0.0, 0.0, 0.0)
-    viewer = Viewer(ModelConfig(), port=ns.port, target=target)
+    viewer = Viewer(cfg, port=ns.port, target=target)
     viewer.update(state.params, int(state.step))
     viewer.start()
     print("Press Ctrl-C to stop.")
@@ -223,13 +216,8 @@ def cmd_render(argv) -> int:
     (ns-render-equivalent: orbit path or the dataset's eval cameras)."""
     import numpy as np
 
-    from qed_splatter_tpu.configs import (
-        DataConfig, ModelConfig, default_optimizers,
-    )
+    from qed_splatter_tpu.configs import DataConfig
     from qed_splatter_tpu.engine import checkpoint as ckpt
-    from qed_splatter_tpu.engine.optim import GroupOptimizers
-    from qed_splatter_tpu.engine.train_step import init_train_state
-    from qed_splatter_tpu.models.gaussians import init_random
 
     parser = argparse.ArgumentParser(prog="qed-render")
     parser.add_argument("--load-dir", required=True)
@@ -258,7 +246,7 @@ def cmd_render(argv) -> int:
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    cfg = ModelConfig()
+    cfg = ckpt.model_config_from_meta(ckpt.checkpoint_meta(ns.load_dir))
     out_dir = Path(ns.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 

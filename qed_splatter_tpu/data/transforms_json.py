@@ -186,6 +186,20 @@ def parse_transforms(cfg: DataConfig) -> ParsedScene:
     )
     poses = _apply_transform(poses, transform)
 
+    # Compose the dataset's pre-applied transform (ns-process-data/COLMAP
+    # datasets record it as ``applied_transform``) into the dataparser
+    # transform — nerfstudio nerfstudio_dataparser semantics: the poses
+    # already live in the applied frame, but ``ply_file_path`` seed points
+    # and the recorded transform (used for inverse world-coordinate
+    # exports) are in the ORIGINAL frame.
+    if "applied_transform" in meta:
+        at = np.array(meta["applied_transform"], dtype=np.float64)
+        at44 = np.eye(4)
+        at44[: at.shape[0], :4] = at
+        t44 = np.eye(4)
+        t44[:3, :4] = transform
+        transform = (t44 @ at44)[:3, :4]
+
     scale_factor = 1.0
     if cfg.auto_scale_poses:
         maxabs = float(np.max(np.abs(poses[:, :3, 3])))

@@ -24,12 +24,13 @@ from qed_splatter_tpu.models.gaussians import GaussianParams, sh_dc_to_rgb
 
 def save_checkpoint(ckpt_dir, state: TrainState, step: int,
                     dataparser_transform=None,
-                    dataparser_scale: float = 1.0) -> Path:
+                    dataparser_scale: float = 1.0,
+                    model_config=None) -> Path:
     ckpt_dir = Path(ckpt_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"step-{step:09d}"
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state, force=True)
+    ckptr.save(path, _pack_zero_size(state), force=True)
     ckptr.wait_until_finished()
     meta = {
         "step": step,
@@ -51,9 +52,55 @@ def save_checkpoint(ckpt_dir, state: TrainState, step: int,
             if dataparser_transform is not None else None
         ),
         "dataparser_scale": float(dataparser_scale),
+        # trained model configuration so render/view/export rebuild the
+        # exact model (sh_degree, rasterize_mode, background, ...) without
+        # user-supplied flags (ADVICE r1: default ModelConfig() crashed on
+        # sh_degree-0 checkpoints)
+        "model_config": (
+            _jsonable_config(model_config) if model_config is not None
+            else None
+        ),
     }
     (ckpt_dir / "latest.json").write_text(json.dumps(meta))
     return path
+
+
+def _jsonable_config(cfg) -> dict:
+    import dataclasses
+
+    out = {}
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if isinstance(v, tuple):
+            v = list(v)
+        out[f.name] = v
+    return out
+
+
+def model_config_from_meta(meta: Optional[dict]):
+    """Rebuild the trained ModelConfig from checkpoint metadata; falls back
+    to defaults (plus legacy top-level sh_degree) for old checkpoints."""
+    import dataclasses
+
+    from qed_splatter_tpu.configs import ModelConfig
+
+    cfg = ModelConfig()
+    if not meta:
+        return cfg
+    stored = meta.get("model_config")
+    if stored:
+        names = {f.name for f in dataclasses.fields(ModelConfig)}
+        kw = {}
+        for k, v in stored.items():
+            if k not in names:
+                continue
+            if isinstance(getattr(cfg, k), tuple) and isinstance(v, list):
+                v = tuple(v)
+            kw[k] = v
+        return dataclasses.replace(cfg, **kw)
+    if "sh_degree" in meta:
+        return dataclasses.replace(cfg, sh_degree=int(meta["sh_degree"]))
+    return cfg
 
 
 def checkpoint_meta(ckpt_dir) -> Optional[dict]:
@@ -102,15 +149,38 @@ def latest_checkpoint(ckpt_dir) -> Optional[Path]:
     return candidates[-1] if candidates else None
 
 
+def _pack_zero_size(tree):
+    """Orbax cannot serialize zero-size arrays (e.g. features_rest with
+    sh_degree=0); swap them for a 1-element placeholder symmetrically at
+    save and restore time."""
+    return jax.tree.map(
+        lambda x: np.zeros((1,), np.asarray(x).dtype)
+        if hasattr(x, "size") and getattr(x, "size", 1) == 0 else x,
+        tree,
+    )
+
+
 def restore_checkpoint(path, template: TrainState) -> TrainState:
     """Restore into the shapes/dtypes of ``template`` (same capacity)."""
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
         if hasattr(x, "shape") else x,
-        template,
+        _pack_zero_size(template),
     )
-    return ckptr.restore(Path(path).absolute(), target)
+    restored = ckptr.restore(Path(path).absolute(), target)
+    # re-materialize the zero-size leaves from the template
+    return jax.tree.map(
+        lambda t, r: jnp_zeros_like(t)
+        if hasattr(t, "size") and getattr(t, "size", 1) == 0 else r,
+        template, restored,
+    )
+
+
+def jnp_zeros_like(x):
+    import jax.numpy as jnp
+
+    return jnp.zeros(x.shape, x.dtype)
 
 
 def _inverse_transform(means: np.ndarray, scales_log: np.ndarray, meta):

@@ -258,10 +258,11 @@ def maybe_reset_opacities(
     cfg: ModelConfig,
 ) -> Tuple[GaussianParams, Dict]:
     """Opacity reset (splatfacto): at step % reset_interval == refine_every,
-    clamp opacity logits to logit(2 * cull_alpha_thresh) and zero the
-    opacities Adam moments. jit-stable via where."""
+    while densification is still active (step < stop_split_at), clamp opacity
+    logits to logit(2 * cull_alpha_thresh) and zero the opacities Adam
+    moments. jit-stable via where."""
     reset_interval = cfg.reset_alpha_every * cfg.refine_every
-    do = (step % reset_interval) == cfg.refine_every
+    do = (step < cfg.stop_split_at) & ((step % reset_interval) == cfg.refine_every)
     cap = _inverse_sigmoid(min(2.0 * cfg.cull_alpha_thresh, 0.99))
     new_op = jnp.where(do, jnp.minimum(params.opacities, cap), params.opacities)
     gstate = opt_state["opacities"]

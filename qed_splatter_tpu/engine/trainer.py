@@ -277,6 +277,8 @@ class Trainer:
             )
         if cfgt.steps_per_eval_image and cur % cfgt.steps_per_eval_image == 0:
             self.eval_image(cur)
+        if cfgt.steps_per_eval_batch and cur % cfgt.steps_per_eval_batch == 0:
+            self.eval_batch(cur)
         if (
             cfgt.steps_per_eval_all_images
             and cur % cfgt.steps_per_eval_all_images == 0
@@ -287,6 +289,7 @@ class Trainer:
                 self.run_dir / "ckpts", self.state, cur,
                 dataparser_transform=self.dm.scene.transform_matrix,
                 dataparser_scale=self.dm.scene.scale_factor,
+                model_config=self.cfg,
             )
         return key
 
@@ -399,6 +402,7 @@ class Trainer:
             self.run_dir / "ckpts", self.state, total,
             dataparser_transform=self.dm.scene.transform_matrix,
             dataparser_scale=self.dm.scene.scale_factor,
+            model_config=self.cfg,
         )
         meta = ckpt.checkpoint_meta(self.run_dir / "ckpts")
         ckpt.export_ply(self.run_dir / "splat.ply", self.state.params, meta)
@@ -460,6 +464,7 @@ class Trainer:
             self.run_dir / "ckpts", self.state, total,
             dataparser_transform=self.dm.scene.transform_matrix,
             dataparser_scale=self.dm.scene.scale_factor,
+            model_config=self.cfg,
         )
         meta = ckpt.checkpoint_meta(self.run_dir / "ckpts")
         ckpt.export_ply(self.run_dir / "splat.ply", self.state.params, meta)
@@ -514,6 +519,32 @@ class Trainer:
         )
         self.writer.write(step, metrics, prefix="eval", force_console=True)
         return metrics
+
+    def eval_batch(self, step: int) -> Dict:
+        """Eval-loss cadence (nerfstudio ``steps_per_eval_batch``, reference
+        config.py:28): loss dict on one held-out image, no optimizer step."""
+        from qed_splatter_tpu.models.splatfacto import total_loss
+
+        idx = self.dm.scene.eval_indices[
+            step // max(self.config.steps_per_eval_batch, 1)
+            % max(self.dm.num_eval, 1)
+        ]
+        item = self.dm.get_item(int(idx))
+        d = self._downscale_factor(step)
+        out, cam = self._render_eval(item, d)
+        gt = jnp.asarray(
+            np.asarray(downscale_image(item["image"], d), np.float32) / 255.0
+        )
+        gt_depth = (
+            jnp.asarray(downscale_depth(item["depth_image"], d))
+            if "depth_image" in item else None
+        )
+        _, losses = total_loss(
+            out, gt, gt_depth, self.state.params, self.cfg, self.state.step
+        )
+        losses = {k: float(v) for k, v in losses.items()}
+        self.writer.write(step, losses, prefix="eval_loss")
+        return losses
 
     def eval_all(self, step: int) -> Dict:
         all_metrics = []

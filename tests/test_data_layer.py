@@ -121,6 +121,48 @@ def test_parse_transforms_unscaled_mode(dataset):
                                atol=1e-6)
 
 
+def test_applied_transform_composed_into_ply_points(dataset):
+    """`applied_transform` (ns-process-data/COLMAP datasets) must be composed
+    into the dataparser transform before seed-point loading and before the
+    recorded transform_matrix (nerfstudio semantics; ADVICE r1, medium)."""
+    with open(dataset / "transforms.json") as f:
+        raw = json.load(f)
+    # baseline: no applied_transform
+    base = parse_transforms(DataConfig(data=str(dataset)))
+    # add a COLMAP-style axis-swap applied_transform; poses stay identical
+    # (they are already in the applied frame), but the PLY lives in the
+    # ORIGINAL frame, so the parser must push its points through A first.
+    A = np.array(
+        [[0.0, 1.0, 0.0, 0.0],
+         [1.0, 0.0, 0.0, 0.0],
+         [0.0, 0.0, -1.0, 0.0]]
+    )
+    raw["applied_transform"] = A.tolist()
+    with open(dataset / "transforms.json", "w") as f:
+        json.dump(raw, f)
+    scene = parse_transforms(DataConfig(data=str(dataset)))
+    # poses: unchanged (applied_transform does not touch them)
+    np.testing.assert_allclose(
+        scene.frames[0].camera.c2w, base.frames[0].camera.c2w, atol=1e-6
+    )
+    # recorded transform: composed with A
+    t44 = np.eye(4)
+    t44[:3, :4] = base.transform_matrix
+    a44 = np.eye(4)
+    a44[:3, :4] = A
+    expect = (t44 @ a44)[:3, :4]
+    np.testing.assert_allclose(scene.transform_matrix, expect, atol=1e-6)
+    # seed points: original-frame points mapped through A then the base
+    # transform + scale equals the new parser output
+    ply_base = base.points / base.scale_factor  # undo scale
+    # base path applied only the base transform; recover raw ply points
+    R, t = base.transform_matrix[:3, :3], base.transform_matrix[:3, 3]
+    raw_pts = (ply_base - t) @ np.linalg.inv(R).T
+    mapped = raw_pts @ A[:3, :3].T + A[:3, 3]
+    expect_pts = (mapped @ R.T + t) * scene.scale_factor
+    np.testing.assert_allclose(scene.points, expect_pts, atol=1e-4)
+
+
 def test_split_fraction(dataset):
     cfg = DataConfig(data=str(dataset), train_split_fraction=0.5)
     scene = parse_transforms(cfg)

@@ -146,6 +146,34 @@ def test_opacity_reset():
     )
 
 
+def test_opacity_reset_stops_after_densification():
+    """Reference splatfacto resets opacities only while densification is
+    active: no reset at steps >= stop_split_at (ADVICE r1, high)."""
+    cfg, gp, optims, opt_state, stats = _setup(opacity_logit=3.0)
+    interval = cfg.reset_alpha_every * cfg.refine_every
+    # a reset-cadence step after densification stopped (e.g. 15100, 18100...)
+    late = ((cfg.stop_split_at // interval) + 1) * interval + cfg.refine_every
+    assert late >= cfg.stop_split_at and late % interval == cfg.refine_every
+    gp2, opt2 = maybe_reset_opacities(
+        gp, opt_state, jnp.asarray(late, jnp.int32), cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp2.opacities), np.asarray(gp.opacities)
+    )
+    mu, nu = adam_moments(opt2["opacities"])
+    mu0, nu0 = adam_moments(opt_state["opacities"])
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu0))
+    # an active-phase reset step still resets
+    early = interval + cfg.refine_every
+    assert early < cfg.stop_split_at
+    gp3, _ = maybe_reset_opacities(
+        gp, opt_state, jnp.asarray(early, jnp.int32), cfg
+    )
+    import math
+    cap = math.log(0.01 / 0.99)
+    assert np.asarray(gp3.opacities).max() <= cap + 1e-5
+
+
 def test_capacity_saturation_is_graceful():
     """At full capacity every gaussian wants to split; the budget cap must
     degrade to 'no densification' — never net gaussian loss (a split parent

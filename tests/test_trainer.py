@@ -69,6 +69,29 @@ def test_trainer_short_run(dataset, tmp_path):
     assert trainer._downscale_factor(39) == 1
 
 
+def test_checkpoint_meta_model_config(dataset, tmp_path):
+    """Checkpoint metadata records the trained ModelConfig so render/view
+    rebuild the exact model (ADVICE r1: sh_degree-0 checkpoints crashed
+    under the default config)."""
+    cfg = _tiny_config(
+        dataset, tmp_path,
+        model_kw=dict(sh_degree=0, rasterize_mode="antialiased",
+                      background_color="black"),
+        steps_per_eval_batch=20,
+    )
+    trainer = Trainer(cfg)
+    trainer.train(max_steps=20)
+    meta = ckpt.checkpoint_meta(trainer.run_dir / "ckpts")
+    restored = ckpt.model_config_from_meta(meta)
+    assert restored == cfg.model
+    # legacy checkpoints (top-level sh_degree only) still work
+    legacy = ckpt.model_config_from_meta({"sh_degree": 1})
+    assert legacy.sh_degree == 1
+    # steps_per_eval_batch cadence wrote eval-loss lines
+    lines = [json.loads(l) for l in open(trainer.run_dir / "metrics.jsonl")]
+    assert any(l["split"] == "eval_loss" for l in lines)
+
+
 def test_trainer_resume(dataset, tmp_path):
     cfg = _tiny_config(dataset, tmp_path)
     t1 = Trainer(cfg)
