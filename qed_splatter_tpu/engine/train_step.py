@@ -163,7 +163,8 @@ def make_train_step(
                 g_bgrid = None
             # absgrad densification statistics (reference model.py:289-292)
             absg = absgrad_scatter(
-                g_eps, out.tile_lists, state.params.capacity
+                g_eps, out.tile_lists, state.params.capacity,
+                slab_perm=out.slab_perm, slab_bounds=out.slab_bounds,
             )
             stats = accumulate_stats(state.stats, absg, out.radii, max_hw)
         else:

@@ -227,6 +227,16 @@ class Trainer:
             new_cap = min(cap * 2, self.cfg.max_capacity)
             print(f"Growing gaussian capacity {cap} -> {new_cap}")
             grown = grow_capacity(params, new_cap)
+            # padded slots must hold benign values: a zero quat (from
+            # jnp.pad) has a NaN-gradient normalization that poisons the
+            # whole backward pass (first observed at the first growth)
+            grown = grown.replace(
+                quats=jnp.where(
+                    jnp.arange(new_cap)[:, None] < cap,
+                    grown.quats,
+                    jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+                )
+            )
 
             def pad_opt(x, ref_shape):
                 if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == cap:

@@ -40,6 +40,9 @@ class RenderOutputs(NamedTuple):
     tile_lists: jnp.ndarray     # [T, K]
     num_tiles_x: int
     visible: jnp.ndarray        # [N] bool (radius > 0)
+    # slab grouping plan for scatter-free gradient reductions (ops.tiles)
+    slab_perm: Optional[jnp.ndarray] = None     # [T*K]
+    slab_bounds: Optional[jnp.ndarray] = None   # [N+1]
 
 
 def active_sh_degree(step: jnp.ndarray, sh_degree: int,
@@ -152,6 +155,8 @@ def render(
         binning.num_tiles_x,
         tile_size=cfg.tile_size,
         tile_eps=tile_eps,
+        slab_perm=binning.slab_perm,
+        slab_bounds=binning.slab_bounds,
     )
 
     bg = background_color(cfg, train, bg_rng)
@@ -175,6 +180,8 @@ def render(
         tile_lists=binning.tile_lists,
         num_tiles_x=binning.num_tiles_x,
         visible=radii > 0,
+        slab_perm=binning.slab_perm,
+        slab_bounds=binning.slab_bounds,
     )
 
 

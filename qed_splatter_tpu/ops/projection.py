@@ -39,8 +39,15 @@ class ProjectionResult(NamedTuple):
 
 
 def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
-    """Unit-normalize [..., 4] (w, x, y, z) quaternions and convert to [..., 3, 3]."""
-    q = quats / jnp.maximum(jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-12)
+    """Unit-normalize [..., 4] (w, x, y, z) quaternions and convert to [..., 3, 3].
+
+    NaN-safe at q == 0: ``sqrt(max(|q|^2, eps))`` keeps the *backward* pass
+    finite (``maximum(norm(q), eps)`` does not — d|q|/dq = q/|q| is 0/0 at
+    zero, and 0-cotangent x NaN-partial = NaN; a zero quat in any dead
+    capacity slot would poison every gradient in the step).
+    """
+    sq = jnp.sum(quats * quats, axis=-1, keepdims=True)
+    q = quats / jnp.sqrt(jnp.maximum(sq, 1e-24))
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     r00 = 1.0 - 2.0 * (y * y + z * z)
     r01 = 2.0 * (x * y - w * z)

@@ -107,6 +107,8 @@ def rasterize_tiles(
     tile_size: int = 16,
     tile_eps: Optional[jnp.ndarray] = None,
     tile_chunk: int = 0,
+    slab_perm: Optional[jnp.ndarray] = None,    # unused (XLA autodiff path)
+    slab_bounds: Optional[jnp.ndarray] = None,  # unused (XLA autodiff path)
 ) -> RasterizeResult:
     """Composite per-tile gaussian lists into an image (single camera)."""
     t, k = tile_lists.shape

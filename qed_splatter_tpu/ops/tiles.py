@@ -42,6 +42,14 @@ class TileBinning(NamedTuple):
     num_tiles_y: int
     order: jnp.ndarray         # [N] int32 depth order used (valid first)
     num_truncated: jnp.ndarray  # scalar: gaussians with bbox > TPG cells
+    # Gradient-reduction plan: slab slots grouped by gaussian id. The
+    # per-tile gather's VJP must reduce the [T, K] slab cotangents back to
+    # [N] per-gaussian sums; XLA's scatter-add runs on the TPU scalar core
+    # (~20 ms at 1.1M slots), so we precompute here (where the slab layout
+    # is born) a stable grouping permutation + segment boundaries, turning
+    # the VJP into gather -> cumsum -> boundary-diff (vector/MXU fast).
+    slab_perm: jnp.ndarray     # [T*K] int32: slot indices sorted by gaussian
+    slab_bounds: jnp.ndarray   # [N+1] int32: segment start of each gaussian
 
 
 def bin_gaussians(
@@ -120,6 +128,17 @@ def bin_gaussians(
         vals_sorted[jnp.clip(gather, 0, total_pairs - 1)],
         -1,
     )
+    # group slab slots by gaussian id for the gradient-reduction VJP
+    flat_ids = lists.reshape(-1)
+    sort_key = jnp.where(flat_ids >= 0, flat_ids, n).astype(jnp.int32)
+    slot_iota = jnp.arange(flat_ids.shape[0], dtype=jnp.int32)
+    ids_sorted, slab_perm = jax.lax.sort(
+        (sort_key, slot_iota), dimension=0, is_stable=False, num_keys=1
+    )
+    slab_bounds = jnp.searchsorted(
+        ids_sorted, jnp.arange(n + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
     return TileBinning(
         tile_lists=lists,
         tile_counts=counts,
@@ -127,4 +146,6 @@ def bin_gaussians(
         num_tiles_y=num_tiles_y,
         order=order,
         num_truncated=num_truncated,
+        slab_perm=slab_perm,
+        slab_bounds=slab_bounds,
     )

@@ -54,6 +54,22 @@ def test_photometric_loss_mix():
     assert 0.8 < loss <= 1.01
 
 
+def test_ssim_band_matches_depthwise_oracle():
+    """Band-matmul SSIM == depthwise-conv SSIM (fwd and grad)."""
+    import jax
+    from qed_splatter_tpu.ops.ssim import ssim, _ssim_depthwise
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(size=(41, 57, 3)), jnp.float32)
+    b = jnp.clip(a + 0.1 * jnp.asarray(
+        rng.normal(size=(41, 57, 3)), jnp.float32), 0.0, 1.0)
+    v_band, g_band = jax.value_and_grad(lambda x: ssim(x, b))(a)
+    v_dw, g_dw = jax.value_and_grad(lambda x: _ssim_depthwise(x, b))(a)
+    np.testing.assert_allclose(float(v_band), float(v_dw), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_band), np.asarray(g_dw),
+                               atol=2e-5)
+
+
 def test_scale_reg_zero_for_isotropic():
     gp = init_random(num_points=64, capacity=256, seed=0)
     # isotropic scales -> ratio 1 -> no penalty

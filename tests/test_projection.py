@@ -113,3 +113,22 @@ def test_projection_grads_finite():
     for arr in g:
         assert np.isfinite(np.asarray(arr)).all()
         assert np.abs(np.asarray(arr)).sum() > 0
+
+
+def test_zero_quat_gradients_finite():
+    """A zero quaternion (e.g. a zero-padded dead capacity slot) must not
+    produce NaN gradients: sqrt(max(|q|^2, eps)) keeps the backward finite
+    where maximum(norm(q), eps) does not. Regression for the step-1600
+    capacity-growth NaN blowup."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from qed_splatter_tpu.ops.projection import quat_to_rotmat
+
+    quats = jnp.asarray([[1.0, 0, 0, 0], [0.0, 0, 0, 0]])
+
+    def f(q):
+        return jnp.sum(quat_to_rotmat(q) ** 2)
+
+    g = jax.grad(f)(quats)
+    assert np.isfinite(np.asarray(g)).all()

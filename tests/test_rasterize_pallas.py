@@ -196,3 +196,44 @@ def test_vmap_over_cameras():
         np.asarray(batched[0]), np.asarray(single), atol=1e-5
     )
     assert batched.shape == (2, H, W, 3)
+
+
+def test_perm_vjp_matches_scatter():
+    """tile_gather_cm with the slab grouping plan produces the same
+    gradients as the scatter-add fallback (and the absgrad reduction
+    matches the exact scatter)."""
+    from qed_splatter_tpu.ops.segment import (
+        absgrad_scatter_sorted, tile_gather_cm,
+    )
+    from qed_splatter_tpu.ops.rasterize import absgrad_scatter
+
+    res, colors, opac, binning = _projected(n=192, seed=11)
+    packed = jnp.concatenate(
+        [res.means2d[0], res.conics[0], colors, opac[:, None]], axis=-1
+    )
+    tl = binning.tile_lists
+
+    def loss_perm(p):
+        g = tile_gather_cm(p, tl, binning.slab_perm, binning.slab_bounds)
+        return jnp.sum(jnp.sin(g) * g)
+
+    def loss_scatter(p):
+        g = tile_gather_cm(p, tl)
+        return jnp.sum(jnp.sin(g) * g)
+
+    gp = jax.grad(loss_perm)(packed)
+    gs = jax.grad(loss_scatter)(packed)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+                               atol=1e-4, rtol=1e-4)
+
+    # absgrad: perm reduction vs exact scatter
+    t, k = tl.shape
+    rng = np.random.default_rng(0)
+    tile_g = jnp.asarray(rng.normal(size=(t, k, 2)), jnp.float32)
+    a_perm = absgrad_scatter_sorted(
+        tile_g, tl, packed.shape[0],
+        slab_perm=binning.slab_perm, slab_bounds=binning.slab_bounds,
+    )
+    a_exact = absgrad_scatter(tile_g, tl, packed.shape[0])
+    np.testing.assert_allclose(np.asarray(a_perm), np.asarray(a_exact),
+                               atol=1e-4, rtol=1e-4)
