@@ -165,6 +165,7 @@ def make_train_step(
             absg = absgrad_scatter(
                 g_eps, out.tile_lists, state.params.capacity,
                 slab_perm=out.slab_perm, slab_bounds=out.slab_bounds,
+                inv_order=out.inv_order,
             )
             stats = accumulate_stats(state.stats, absg, out.radii, max_hw)
         else:

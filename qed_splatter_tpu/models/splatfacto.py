@@ -37,12 +37,13 @@ class RenderOutputs(NamedTuple):
     background: jnp.ndarray     # [3]
     # densification inputs (reference model.py:289-292 stashes xys/radii)
     radii: jnp.ndarray          # [N] int32
-    tile_lists: jnp.ndarray     # [T, K]
+    tile_lists: Optional[jnp.ndarray]  # [T, K] ids (None on the rank path)
     num_tiles_x: int
     visible: jnp.ndarray        # [N] bool (radius > 0)
     # slab grouping plan for scatter-free gradient reductions (ops.tiles)
     slab_perm: Optional[jnp.ndarray] = None     # [T*K]
     slab_bounds: Optional[jnp.ndarray] = None   # [N+1]
+    inv_order: Optional[jnp.ndarray] = None     # [N] id -> depth rank
 
 
 def active_sh_degree(step: jnp.ndarray, sh_degree: int,
@@ -126,6 +127,10 @@ def render(
     if render_depth:
         channels = jnp.concatenate([rgb_g, proj.depths[0][:, None]], axis=-1)
 
+    # Pallas kernels on TPU (5.4x faster fwd+bwd than XLA autodiff at
+    # 1296x840/80k gaussians); the XLA rasterizer is the differentiable
+    # oracle and the CPU/test path.
+    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
     binning = bin_gaussians(
         proj.means2d[0],
         radii,
@@ -134,30 +139,44 @@ def render(
         height,
         tile_size=cfg.tile_size,
         max_per_tile=cfg.max_per_tile,
+        with_slab_plan=train,  # eval never backprops through the gather
+        # the Pallas path addresses slabs by depth rank; decoding gaussian
+        # ids is a [T, K] gather from the order table it never needs
+        with_id_lists=not use_pallas,
     )
-    # Pallas kernels on TPU (5.4x faster fwd+bwd than XLA autodiff at
-    # 1296x840/80k gaussians); the XLA rasterizer is the differentiable
-    # oracle and the CPU/test path.
-    if cfg.use_pallas and jax.default_backend() == "tpu":
+    if use_pallas:
         from qed_splatter_tpu.ops.rasterize_pallas import rasterize_tiles_pallas
 
-        rasterize_fn = rasterize_tiles_pallas
+        out = rasterize_tiles_pallas(
+            binning.tile_lists,
+            proj.means2d[0],
+            proj.conics[0],
+            channels,
+            opac,
+            width,
+            height,
+            binning.num_tiles_x,
+            tile_size=cfg.tile_size,
+            tile_eps=tile_eps,
+            slab_perm=binning.slab_perm,
+            slab_bounds=binning.slab_bounds,
+            tile_ranks=binning.tile_ranks,
+            order=binning.order,
+            inv_order=binning.inv_order,
+        )
     else:
-        rasterize_fn = rasterize_tiles
-    out = rasterize_fn(
-        binning.tile_lists,
-        proj.means2d[0],
-        proj.conics[0],
-        channels,
-        opac,
-        width,
-        height,
-        binning.num_tiles_x,
-        tile_size=cfg.tile_size,
-        tile_eps=tile_eps,
-        slab_perm=binning.slab_perm,
-        slab_bounds=binning.slab_bounds,
-    )
+        out = rasterize_tiles(
+            binning.tile_lists,
+            proj.means2d[0],
+            proj.conics[0],
+            channels,
+            opac,
+            width,
+            height,
+            binning.num_tiles_x,
+            tile_size=cfg.tile_size,
+            tile_eps=tile_eps,
+        )
 
     bg = background_color(cfg, train, bg_rng)
     rgb = out.render[..., :3] + (1.0 - out.alpha) * bg       # model.py:296
@@ -182,6 +201,7 @@ def render(
         visible=radii > 0,
         slab_perm=binning.slab_perm,
         slab_bounds=binning.slab_bounds,
+        inv_order=binning.inv_order,
     )
 
 

@@ -335,26 +335,45 @@ def rasterize_tiles_pallas(
     interpret: Optional[bool] = None,
     slab_perm: Optional[jnp.ndarray] = None,
     slab_bounds: Optional[jnp.ndarray] = None,
+    tile_ranks: Optional[jnp.ndarray] = None,
+    order: Optional[jnp.ndarray] = None,
+    inv_order: Optional[jnp.ndarray] = None,
 ):
     """Drop-in replacement for ops.rasterize.rasterize_tiles using the
     Pallas kernels. The per-tile gather stays in XLA so parameter gradients
-    and the absgrad tile_eps side-channel work unchanged; its VJP reduction
-    uses the binning's slab grouping plan when provided (no scatter)."""
+    and the absgrad tile_eps side-channel work unchanged. When the binning
+    supplies rank-space addressing (tile_ranks/order/inv_order) plus the
+    slab grouping plan, both the gather and its VJP reduction avoid
+    scatters and the [T, K] rank->id decode entirely; otherwise gaussian-id
+    ``tile_lists`` with a scatter-add VJP serve as the fallback."""
     from qed_splatter_tpu.ops.rasterize import RasterizeResult
 
-    t, k = tile_lists.shape
+    if tile_ranks is not None:
+        t, k = tile_ranks.shape
+    else:
+        t, k = tile_lists.shape
     d = colors.shape[-1]
     num_tiles_y = -(-t // num_tiles_x)
     assert num_tiles_x * num_tiles_y == t, "tile grid mismatch"
 
     # one packed channel-major gather; its custom VJP reduces gradients by
     # grouped segment sum instead of XLA's scalar scatter-add
-    from qed_splatter_tpu.ops.segment import tile_gather_cm
+    from qed_splatter_tpu.ops.segment import tile_gather_cm, tile_gather_ranked
 
     packed = jnp.concatenate(
         [means2d, conics, colors, opacities[:, None]], axis=-1
     )  # [N, 6 + D]
-    g = tile_gather_cm(packed, tile_lists, slab_perm, slab_bounds)
+    if tile_ranks is not None and slab_perm is not None:
+        g = tile_gather_ranked(packed, order, inv_order, tile_ranks,
+                               slab_perm, slab_bounds)
+    elif tile_ranks is not None:
+        # forward-only rank addressing (eval/export: nothing differentiates
+        # through the gather, so no reduction plan is needed)
+        safe = jnp.maximum(tile_ranks, 0)
+        ok = (tile_ranks >= 0)[:, None, :]
+        g = jnp.where(ok, packed[order][safe].transpose(0, 2, 1), 0.0)
+    else:
+        g = tile_gather_cm(packed, tile_lists)
     g_means = g[:, 0:2]
     if tile_eps is not None:
         g_means = g_means + tile_eps.transpose(0, 2, 1)

@@ -73,47 +73,65 @@ def permuted_segment_sum(
     return grouped_segment_sum(values_flat[perm], bounds)
 
 
-def tile_gather_cm(
-    params: jnp.ndarray,      # [N, C]
-    tile_lists: jnp.ndarray,  # [T, K] int32, -1 = empty slot
-    slab_perm: Optional[jnp.ndarray] = None,    # [T*K] from bin_gaussians
-    slab_bounds: Optional[jnp.ndarray] = None,  # [N+1] from bin_gaussians
+def tile_gather_ranked(
+    params: jnp.ndarray,      # [N, C] (gaussian-id order)
+    order: jnp.ndarray,       # [N] int32 depth order (rank -> id)
+    inv_order: jnp.ndarray,   # [N] int32 (id -> rank)
+    tile_ranks: jnp.ndarray,  # [T, K] int32 depth ranks, -1 = empty slot
+    slab_perm: jnp.ndarray,   # [T*K] slot indices grouped by rank
+    slab_bounds: jnp.ndarray,  # [N+1] rank-segment starts
 ) -> jnp.ndarray:
-    """Gather per-tile rows, channel-major [T, C, K]; empty slots zero.
+    """Rank-space per-tile gather, channel-major [T, C, K]; empty slots 0.
 
-    Forward is a plain XLA row gather (fast). Backward reduces the [T, C, K]
-    cotangent back to [N, C]: with ``slab_perm``/``slab_bounds`` (the
-    grouping plan precomputed by ``bin_gaussians``) it is a permutation
-    gather + cumsum + boundary diff — all vector-core work; without them it
-    falls back to XLA's scatter-add (scalar core, ~3x slower at 1.1M slots).
+    Hot-path form (ops.tiles emits depth ranks, not ids): forward gathers
+    ``params[order]`` once ([N, C] rows) and then addresses slabs by rank;
+    backward is a permutation gather + cumsum + boundary diff in rank space
+    followed by one [N, C] un-permute row gather — no scatter anywhere.
     """
-    if slab_perm is not None:
-        return _tile_gather_cm_perm(params, tile_lists, slab_perm, slab_bounds)
-    return _tile_gather_cm(params, tile_lists)
+    return _tile_gather_ranked(params, order, inv_order, tile_ranks,
+                               slab_perm, slab_bounds)
 
 
 @jax.custom_vjp
-def _tile_gather_cm_perm(params, tile_lists, slab_perm, slab_bounds):
-    safe = jnp.maximum(tile_lists, 0)
-    ok = (tile_lists >= 0)[:, None, :]
-    return jnp.where(ok, params[safe].transpose(0, 2, 1), 0.0)
+def _tile_gather_ranked(params, order, inv_order, tile_ranks,
+                        slab_perm, slab_bounds):
+    by_rank = params[order]                    # [N, C] rank-space rows
+    safe = jnp.maximum(tile_ranks, 0)
+    ok = (tile_ranks >= 0)[:, None, :]
+    return jnp.where(ok, by_rank[safe].transpose(0, 2, 1), 0.0)
 
 
-def _tgp_fwd(params, tile_lists, slab_perm, slab_bounds):
-    out = _tile_gather_cm_perm(params, tile_lists, slab_perm, slab_bounds)
-    return out, (tile_lists, slab_perm, slab_bounds, params.shape)
+def _tgr_fwd(params, order, inv_order, tile_ranks, slab_perm, slab_bounds):
+    out = _tile_gather_ranked(params, order, inv_order, tile_ranks,
+                              slab_perm, slab_bounds)
+    return out, (inv_order, slab_perm, slab_bounds, params.shape[1])
 
 
-def _tgp_bwd(res, g):
-    tile_lists, perm, bounds, (n, c) = res
-    # g: [T, C, K] -> slot-major rows [T*K, C]; padded slots (id -1) sort to
-    # the tail of perm order (sentinel id n) and fall beyond bounds[n], so
-    # the boundary diff drops them exactly.
+def _tgr_bwd(res, g):
+    inv_order, perm, bounds, c = res
+    # g: [T, C, K] -> slot-major rows [T*K, C]; padded slots (rank -1)
+    # group to the tail (sentinel rank N) beyond bounds[N], so the boundary
+    # diff drops them exactly. Result rows are in rank space; the final
+    # row gather by inv_order returns them to gaussian-id space.
     rows = g.transpose(0, 2, 1).reshape(-1, c)
-    return permuted_segment_sum(rows, perm, bounds), None, None, None
+    by_rank = permuted_segment_sum(rows, perm, bounds)
+    return by_rank[inv_order], None, None, None, None, None
 
 
-_tile_gather_cm_perm.defvjp(_tgp_fwd, _tgp_bwd)
+_tile_gather_ranked.defvjp(_tgr_fwd, _tgr_bwd)
+
+
+def tile_gather_cm(
+    params: jnp.ndarray,      # [N, C]
+    tile_lists: jnp.ndarray,  # [T, K] int32, -1 = empty slot
+) -> jnp.ndarray:
+    """Id-space per-tile gather, channel-major [T, C, K]; empty slots zero.
+
+    Forward is a plain XLA row gather; backward is XLA's scatter-add
+    (scalar core). This is the oracle/fallback path — the hot path is
+    ``tile_gather_ranked`` with the binning's precomputed grouping plan.
+    """
+    return _tile_gather_cm(params, tile_lists)
 
 
 @jax.custom_vjp
@@ -145,19 +163,22 @@ _tile_gather_cm.defvjp(_tg_fwd, _tg_bwd)
 
 def absgrad_scatter_sorted(
     tile_grads: jnp.ndarray,  # [T, K, 2]
-    tile_lists: jnp.ndarray,  # [T, K]
+    tile_lists: jnp.ndarray,  # [T, K] gaussian ids (fallback path only)
     num_gaussians: int,
     slab_perm: Optional[jnp.ndarray] = None,
     slab_bounds: Optional[jnp.ndarray] = None,
+    inv_order: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Per-gaussian |grad| sums ([N, 2]) — the absgrad densification signal.
 
-    With the binning's grouping plan this is a permutation gather + cumsum
-    (no sort, no scatter); otherwise falls back to sort-based reduction.
+    With the binning's grouping plan (rank space) this is a permutation
+    gather + cumsum + un-permute (no sort, no scatter); otherwise falls
+    back to a sort-based reduction over gaussian-id tile lists.
     """
     rows = jnp.abs(tile_grads.reshape(-1, 2))
     if slab_perm is not None:
-        return permuted_segment_sum(rows, slab_perm, slab_bounds)
+        by_rank = permuted_segment_sum(rows, slab_perm, slab_bounds)
+        return by_rank[inv_order] if inv_order is not None else by_rank
     return segment_sum_by_sort(
         rows, tile_lists.reshape(-1), num_gaussians
     )

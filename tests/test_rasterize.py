@@ -183,3 +183,26 @@ def test_absgrad_side_channel():
         )
     )(m2d)
     assert (np.abs(np.asarray(direct)) <= a + 1e-7).all()
+
+
+def test_hierarchical_binning_matches_flat():
+    """Hierarchical pair expansion (small slots + overflow table) produces
+    identical tile lists to the flat [N, 64] expansion when the overflow
+    table has room for every big gaussian."""
+    res, colors, opac = _projected(n=96, seed=3)
+    m2d, dep, rad = res.means2d[0], res.depths[0], res.radii[0]
+    # inflate a few radii so several gaussians span > 8 tiles
+    rad = rad.at[:5].set(40)
+    hier = bin_gaussians(m2d, rad, dep, W, H, max_per_tile=64,
+                         small_tiles_per_gaussian=8)
+    flat = bin_gaussians(m2d, rad, dep, W, H, max_per_tile=64,
+                         small_tiles_per_gaussian=64)
+    np.testing.assert_array_equal(np.asarray(hier.tile_lists),
+                                  np.asarray(flat.tile_lists))
+    assert int(hier.num_truncated) == 0
+
+    # starve the overflow table: truncation must be reported, lists stay valid
+    starved = bin_gaussians(m2d, rad, dep, W, H, max_per_tile=64,
+                            small_tiles_per_gaussian=8, overflow_slots=2)
+    assert int(starved.num_truncated) > 0
+    assert np.asarray(starved.tile_lists).max() < m2d.shape[0]

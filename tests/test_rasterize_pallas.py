@@ -198,12 +198,13 @@ def test_vmap_over_cameras():
     assert batched.shape == (2, H, W, 3)
 
 
-def test_perm_vjp_matches_scatter():
-    """tile_gather_cm with the slab grouping plan produces the same
-    gradients as the scatter-add fallback (and the absgrad reduction
-    matches the exact scatter)."""
+def test_ranked_vjp_matches_scatter():
+    """tile_gather_ranked (rank-space gather + grouped-reduction VJP)
+    produces the same forward values and gradients as the id-space gather
+    with a scatter-add VJP; the rank-space absgrad reduction matches the
+    exact scatter."""
     from qed_splatter_tpu.ops.segment import (
-        absgrad_scatter_sorted, tile_gather_cm,
+        absgrad_scatter_sorted, tile_gather_cm, tile_gather_ranked,
     )
     from qed_splatter_tpu.ops.rasterize import absgrad_scatter
 
@@ -213,26 +214,30 @@ def test_perm_vjp_matches_scatter():
     )
     tl = binning.tile_lists
 
-    def loss_perm(p):
-        g = tile_gather_cm(p, tl, binning.slab_perm, binning.slab_bounds)
+    def loss_ranked(p):
+        g = tile_gather_ranked(p, binning.order, binning.inv_order,
+                               binning.tile_ranks, binning.slab_perm,
+                               binning.slab_bounds)
         return jnp.sum(jnp.sin(g) * g)
 
     def loss_scatter(p):
         g = tile_gather_cm(p, tl)
         return jnp.sum(jnp.sin(g) * g)
 
-    gp = jax.grad(loss_perm)(packed)
-    gs = jax.grad(loss_scatter)(packed)
-    np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+    vr, gr = jax.value_and_grad(loss_ranked)(packed)
+    vs, gs = jax.value_and_grad(loss_scatter)(packed)
+    np.testing.assert_allclose(float(vr), float(vs), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gs),
                                atol=1e-4, rtol=1e-4)
 
-    # absgrad: perm reduction vs exact scatter
+    # absgrad: rank-space grouped reduction vs exact id-space scatter
     t, k = tl.shape
     rng = np.random.default_rng(0)
     tile_g = jnp.asarray(rng.normal(size=(t, k, 2)), jnp.float32)
     a_perm = absgrad_scatter_sorted(
         tile_g, tl, packed.shape[0],
         slab_perm=binning.slab_perm, slab_bounds=binning.slab_bounds,
+        inv_order=binning.inv_order,
     )
     a_exact = absgrad_scatter(tile_g, tl, packed.shape[0])
     np.testing.assert_allclose(np.asarray(a_perm), np.asarray(a_exact),
