@@ -46,21 +46,80 @@ def segment_sum_by_sort(
     return jnp.stack(sums, axis=-1)
 
 
+_BLOCK = 128
+
+
+def _tri_lower_incl(b: int) -> jnp.ndarray:
+    """[B, B] matrix L with L[i, j] = 1 iff j <= i (inclusive prefix)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    return (cols <= rows).astype(jnp.float32)
+
+
+def prefix_sum_1d(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum of a 1D int/float array via MXU block prefixes.
+
+    ``jnp.cumsum`` over a long axis lowers to a log2(M)-pass while loop on
+    TPU; here within-block prefixes are one triangular matmul and only the
+    (M/128)-long block-total cumsum pays the while loop. Integer inputs are
+    carried in f32 — exact below 2^24 (callers: histogram counts).
+    """
+    m = x.shape[0]
+    b = _BLOCK
+    pad = (-m) % b
+    xf = jnp.pad(x.astype(jnp.float32), (0, pad))
+    blocks = xf.reshape(-1, b)
+    within = jax.lax.dot_general(
+        blocks, _tri_lower_incl(b), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    blk_pfx = jnp.cumsum(within[:, -1]) - within[:, -1]
+    out = (within + blk_pfx[:, None]).reshape(-1)[:m]
+    return out.astype(x.dtype)
+
+
 def grouped_segment_sum(
     rows: jnp.ndarray,     # [M, C] rows already grouped by segment
     bounds: jnp.ndarray,   # [N+1] int32 segment starts (ascending);
                            # rows at index >= bounds[-1] are dropped
 ) -> jnp.ndarray:
-    """[N, C] contiguous-segment sums via cumsum + boundary differences.
+    """[N, C] contiguous-segment sums via prefix sums + boundary diffs.
 
     The TPU-fast reduction core: no scatter, no sort — callers supply rows
     pre-grouped by segment (e.g. via a precomputed permutation gather).
-    Error is O(eps * sqrt(M)) from the cumulative-sum differencing (~1e-4
-    relative at M ~ 1e6) — fine for gradient accumulation.
+
+    The prefix sum is hierarchical: XLA lowers a flat ``jnp.cumsum`` over
+    1M rows to a log2(M)-pass while loop (measured 18 ms/step in the
+    1296x840 train step); instead, inclusive prefixes *within* 128-row
+    blocks come from ONE triangular-matrix MXU matmul and prefixes *of*
+    block totals from a small cumsum, and the two are combined only at the
+    N+1 boundary positions (row gathers).
+
+    Error is O(eps * sqrt(M)) from the prefix differencing (~1e-4 relative
+    at M ~ 1e6), fine for gradient accumulation.
     """
-    cs = jnp.cumsum(rows.astype(jnp.float32), axis=0)
-    cs = jnp.concatenate([jnp.zeros((1, rows.shape[1]), jnp.float32), cs])
-    return cs[bounds[1:]] - cs[bounds[:-1]]
+    m, c = rows.shape
+    b = _BLOCK
+    pad = (-m) % b
+    if pad:
+        rows = jnp.pad(rows.astype(jnp.float32), ((0, pad), (0, 0)))
+    else:
+        rows = rows.astype(jnp.float32)
+    mb = rows.shape[0] // b
+    x = rows.reshape(mb, b, c)
+    # inclusive within-block prefix on the MXU: [Mb, C, B]
+    within = jax.lax.dot_general(
+        x, _tri_lower_incl(b), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    blk_tot = within[:, :, -1]                       # [Mb, C]
+    blk_pfx = jnp.cumsum(blk_tot, axis=0) - blk_tot  # exclusive block prefix
+    # global inclusive prefix rows, flat [Mb*B, C]
+    incl = (within + blk_pfx[:, :, None]).transpose(0, 2, 1).reshape(-1, c)
+    # cs[p] = inclusive prefix of everything before position p
+    p = bounds.astype(jnp.int32) - 1                 # -1 => zero row
+    cs = jnp.where((p >= 0)[:, None], incl[jnp.maximum(p, 0)], 0.0)
+    return cs[1:] - cs[:-1]
 
 
 def permuted_segment_sum(

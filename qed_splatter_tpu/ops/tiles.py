@@ -230,15 +230,23 @@ def bin_gaussians(
     # group slab slots by depth rank for the gradient-reduction VJP
     slab_perm = slab_bounds = inv_order = None
     if with_slab_plan:
+        from qed_splatter_tpu.ops.segment import prefix_sum_1d
+
         flat = ranks.reshape(-1)
         sort_key = jnp.where(flat >= 0, flat, n).astype(jnp.int32)
         slot_iota = jnp.arange(flat.shape[0], dtype=jnp.int32)
         ranks_grouped, slab_perm = jax.lax.sort(
             (sort_key, slot_iota), dimension=0, is_stable=False, num_keys=1
         )
-        slab_bounds = jnp.searchsorted(
-            ranks_grouped, jnp.arange(n + 1, dtype=jnp.int32), side="left"
-        ).astype(jnp.int32)
+        # bounds[i] = #slots with rank < i. A searchsorted with N+1 needles
+        # lowers to a 21-pass vmapped binary search (measured 18 ms/step at
+        # 131k needles x 1.1M slots); integer needles make it a histogram
+        # scatter + MXU prefix sum instead (~3 ms).
+        hist = jnp.zeros(n + 1, jnp.int32).at[
+            jnp.minimum(sort_key, n)].add(1, mode="drop")
+        slab_bounds = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), prefix_sum_1d(hist[:n])]
+        )
         inv_order = jnp.argsort(order).astype(jnp.int32)
 
     return TileBinning(
