@@ -105,6 +105,10 @@ def make_train_step(
     num_tiles = (-(-width // ts)) * (-(-height // ts))
     k = cfg.max_per_tile
     max_hw = max(width, height)
+    # On the Pallas hot path absgrad comes out of the gather VJP's seed
+    # input (one shared row gather); the XLA oracle path uses the tile_eps
+    # side-channel + a standalone reduction.
+    pallas_on = cfg.use_pallas and jax.default_backend() == "tpu"
 
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
         """batch: c2w [3or4,4], K [3,3], cam_idx int32, rgb [H,W,3],
@@ -114,14 +118,18 @@ def make_train_step(
         gt_depth = batch["depth"] if has_depth else None
         mask = batch["mask"] if has_mask else None
 
-        def loss_fn(gdict, cam_delta, tile_eps, bgrids):
+        def loss_fn(gdict, cam_delta, side, bgrids):
+            # ``side`` is the absgrad side-channel: a zeros [N, 2] seed on
+            # the Pallas path, a zeros [T, K, 2] tile_eps on the XLA path.
             p = state.params.replace_trainable(gdict)
             c2w = batch["c2w"]
             if camera_opt_on:
                 c2w = apply_camera_opt(c2w, cam_delta[batch["cam_idx"]])
             out = render(
                 p, c2w, batch["K"], width, height, cfg,
-                step=state.step, train=True, bg_rng=rng_bg, tile_eps=tile_eps,
+                step=state.step, train=True, bg_rng=rng_bg,
+                tile_eps=None if pallas_on else side,
+                absgrad_seed=side if pallas_on else None,
             )
             if cfg.use_bilateral_grid:
                 # per-camera color correction on the rendered image during
@@ -145,28 +153,34 @@ def make_train_step(
 
         bgrids = state.bilateral_grids
         if need_absgrad:
-            tile_eps = jnp.zeros((num_tiles, k, 2), jnp.float32)
+            if pallas_on:
+                side = jnp.zeros((state.params.capacity, 2), jnp.float32)
+            else:
+                side = jnp.zeros((num_tiles, k, 2), jnp.float32)
             grad_fn = jax.value_and_grad(
                 loss_fn, argnums=(0, 1, 2, 3) if cfg.use_bilateral_grid
                 else (0, 1, 2), has_aux=True
             )
             if cfg.use_bilateral_grid:
-                (loss, (losses, out)), (g_params, g_cam, g_eps, g_bgrid) = (
+                (loss, (losses, out)), (g_params, g_cam, g_side, g_bgrid) = (
                     grad_fn(state.params.trainable_dict(), state.camera_opt,
-                            tile_eps, bgrids)
+                            side, bgrids)
                 )
             else:
-                (loss, (losses, out)), (g_params, g_cam, g_eps) = grad_fn(
+                (loss, (losses, out)), (g_params, g_cam, g_side) = grad_fn(
                     state.params.trainable_dict(), state.camera_opt,
-                    tile_eps, None,
+                    side, None,
                 )
                 g_bgrid = None
             # absgrad densification statistics (reference model.py:289-292)
-            absg = absgrad_scatter(
-                g_eps, out.tile_lists, state.params.capacity,
-                slab_perm=out.slab_perm, slab_bounds=out.slab_bounds,
-                inv_order=out.inv_order,
-            )
+            if pallas_on:
+                absg = g_side        # already the per-gaussian |grad| sums
+            else:
+                absg = absgrad_scatter(
+                    g_side, out.tile_lists, state.params.capacity,
+                    slab_perm=out.slab_perm, slab_bounds=out.slab_bounds,
+                    inv_order=out.inv_order,
+                )
             stats = accumulate_stats(state.stats, absg, out.radii, max_hw)
         else:
             grad_fn = jax.value_and_grad(

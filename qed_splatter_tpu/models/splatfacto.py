@@ -77,6 +77,7 @@ def render(
     tile_eps: Optional[jnp.ndarray] = None,
     render_depth: Optional[bool] = None,
     crop_box=None,
+    absgrad_seed: Optional[jnp.ndarray] = None,
 ) -> RenderOutputs:
     """Full forward render of one camera (reference model.py:199-321).
 
@@ -163,6 +164,7 @@ def render(
             tile_ranks=binning.tile_ranks,
             order=binning.order,
             inv_order=binning.inv_order,
+            absgrad_seed=absgrad_seed,
         )
     else:
         out = rasterize_tiles(

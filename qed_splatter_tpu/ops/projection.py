@@ -102,12 +102,17 @@ def project_gaussians(
     cx = Ks[:, 0, 2].astype(f32)[:, None]
     cy = Ks[:, 1, 2].astype(f32)[:, None]
 
-    # Camera-space means: [C, N, 3]. HIGHEST precision: the TPU default
-    # (bf16 matmul) costs ~0.2% relative error = sub-pixel jitter on
-    # means2d; these contractions are tiny, full f32 is free.
-    p_cam = jnp.einsum(
-        "cij,nj->cni", R, means, precision=jax.lax.Precision.HIGHEST
-    ) + t[:, None, :]
+    # Camera-space means: [C, N, 3] as explicit fused multiply-adds (an
+    # einsum here lowers to a TPU conv — see the cov_cam note below); all
+    # f32 vector math, so the old bf16-matmul jitter concern is moot.
+    p_cam = jnp.stack(
+        [
+            sum(R[:, None, i, j] * means[None, :, j] for j in range(3))
+            + t[:, None, i]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
     z = p_cam[..., 2]
     in_depth = (z > near_plane) & (z < far_plane)
     z_safe = jnp.where(in_depth, z, 1.0)
@@ -131,13 +136,20 @@ def project_gaussians(
     )
 
     # 3D covariance in camera frame: cov_cam = (R M)(R M)^T, [C, N, 3, 3].
+    # Written as explicit per-component math on [C, N] vectors: an einsum
+    # over batched 3x3 matrices lowers to a TPU convolution + slice fusions
+    # (~5 ms/step at 131k gaussians); 27 fused multiply-adds are ~free.
     M = covariance3d_sqrt(quats.astype(f32), scales.astype(f32))  # [N, 3, 3]
-    RM = jnp.einsum(
-        "cij,njk->cnik", R, M, precision=jax.lax.Precision.HIGHEST
-    )
-    cov_cam = jnp.einsum(
-        "cnik,cnjk->cnij", RM, RM, precision=jax.lax.Precision.HIGHEST
-    )
+    RMr = [
+        [
+            sum(R[:, None, i, j] * M[None, :, j, k] for j in range(3))
+            for k in range(3)
+        ]
+        for i in range(3)
+    ]  # RM[i][k]: [C, N]
+
+    def dotrow(i, l):
+        return sum(RMr[i][k] * RMr[l][k] for k in range(3))
 
     # EWA Jacobian J = d(pixel)/d(cam): [[fx/z, 0, -fx tx/z^2],
     #                                    [0, fy/z, -fy ty/z^2]]
@@ -147,12 +159,12 @@ def project_gaussians(
     j02 = -fx * tx * inv_z * inv_z
     j12 = -fy * ty * inv_z * inv_z
 
-    s00 = cov_cam[..., 0, 0]
-    s01 = cov_cam[..., 0, 1]
-    s02 = cov_cam[..., 0, 2]
-    s11 = cov_cam[..., 1, 1]
-    s12 = cov_cam[..., 1, 2]
-    s22 = cov_cam[..., 2, 2]
+    s00 = dotrow(0, 0)
+    s01 = dotrow(0, 1)
+    s02 = dotrow(0, 2)
+    s11 = dotrow(1, 1)
+    s12 = dotrow(1, 2)
+    s22 = dotrow(2, 2)
 
     # cov2d = J S J^T (symmetric 2x2: a = xx, b = xy, c = yy)
     a = j00 * (j00 * s00 + j02 * s02) + j02 * (j00 * s02 + j02 * s22)

@@ -338,6 +338,7 @@ def rasterize_tiles_pallas(
     tile_ranks: Optional[jnp.ndarray] = None,
     order: Optional[jnp.ndarray] = None,
     inv_order: Optional[jnp.ndarray] = None,
+    absgrad_seed: Optional[jnp.ndarray] = None,
 ):
     """Drop-in replacement for ops.rasterize.rasterize_tiles using the
     Pallas kernels. The per-tile gather stays in XLA so parameter gradients
@@ -365,7 +366,8 @@ def rasterize_tiles_pallas(
     )  # [N, 6 + D]
     if tile_ranks is not None and slab_perm is not None:
         g = tile_gather_ranked(packed, order, inv_order, tile_ranks,
-                               slab_perm, slab_bounds)
+                               slab_perm, slab_bounds,
+                               absgrad_seed=absgrad_seed)
     elif tile_ranks is not None:
         # forward-only rank addressing (eval/export: nothing differentiates
         # through the gather, so no reduction plan is needed)

@@ -139,6 +139,7 @@ def tile_gather_ranked(
     tile_ranks: jnp.ndarray,  # [T, K] int32 depth ranks, -1 = empty slot
     slab_perm: jnp.ndarray,   # [T*K] slot indices grouped by rank
     slab_bounds: jnp.ndarray,  # [N+1] rank-segment starts
+    absgrad_seed: Optional[jnp.ndarray] = None,  # [N, 2] zeros
 ) -> jnp.ndarray:
     """Rank-space per-tile gather, channel-major [T, C, K]; empty slots 0.
 
@@ -146,18 +147,32 @@ def tile_gather_ranked(
     ``params[order]`` once ([N, C] rows) and then addresses slabs by rank;
     backward is a permutation gather + cumsum + boundary diff in rank space
     followed by one [N, C] un-permute row gather — no scatter anywhere.
+
+    ``absgrad_seed`` (a zeros [N, 2] array) is splatfacto's absgrad
+    side-channel (reference model.py:284): its "gradient" is the
+    per-gaussian sum of |slab-level screen-mean cotangents| — channels 0:2
+    of the same rows the parameter reduction consumes, so one row gather
+    serves both (a separate tile_eps reduction costs ~5 ms/step at 1.1M
+    slots). Differentiate w.r.t. it to harvest the absgrad statistics.
     """
-    return _tile_gather_ranked(params, order, inv_order, tile_ranks,
-                               slab_perm, slab_bounds)
+    if absgrad_seed is None:
+        return _tile_gather_ranked(params, order, inv_order, tile_ranks,
+                                   slab_perm, slab_bounds)
+    return _tile_gather_ranked_abs(params, absgrad_seed, order, inv_order,
+                                   tile_ranks, slab_perm, slab_bounds)
+
+
+def _ranked_gather_fwd_impl(params, order, tile_ranks):
+    by_rank = params[order]                    # [N, C] rank-space rows
+    safe = jnp.maximum(tile_ranks, 0)
+    ok = (tile_ranks >= 0)[:, None, :]
+    return jnp.where(ok, by_rank[safe].transpose(0, 2, 1), 0.0)
 
 
 @jax.custom_vjp
 def _tile_gather_ranked(params, order, inv_order, tile_ranks,
                         slab_perm, slab_bounds):
-    by_rank = params[order]                    # [N, C] rank-space rows
-    safe = jnp.maximum(tile_ranks, 0)
-    ok = (tile_ranks >= 0)[:, None, :]
-    return jnp.where(ok, by_rank[safe].transpose(0, 2, 1), 0.0)
+    return _ranked_gather_fwd_impl(params, order, tile_ranks)
 
 
 def _tgr_fwd(params, order, inv_order, tile_ranks, slab_perm, slab_bounds):
@@ -178,6 +193,33 @@ def _tgr_bwd(res, g):
 
 
 _tile_gather_ranked.defvjp(_tgr_fwd, _tgr_bwd)
+
+
+@jax.custom_vjp
+def _tile_gather_ranked_abs(params, absgrad_seed, order, inv_order,
+                            tile_ranks, slab_perm, slab_bounds):
+    return _ranked_gather_fwd_impl(params, order, tile_ranks)
+
+
+def _tgra_fwd(params, absgrad_seed, order, inv_order, tile_ranks,
+              slab_perm, slab_bounds):
+    out = _tile_gather_ranked_abs(params, absgrad_seed, order, inv_order,
+                                  tile_ranks, slab_perm, slab_bounds)
+    return out, (inv_order, slab_perm, slab_bounds, params.shape[1])
+
+
+def _tgra_bwd(res, g):
+    inv_order, perm, bounds, c = res
+    rows = g.transpose(0, 2, 1).reshape(-1, c)[perm]   # grouped by rank
+    by_rank = grouped_segment_sum(rows, bounds)
+    # absgrad: per-gaussian sums of |slab screen-mean cotangents| — the
+    # first two channels of the already-gathered rows
+    abs_rank = grouped_segment_sum(jnp.abs(rows[:, :2]), bounds)
+    return (by_rank[inv_order], abs_rank[inv_order],
+            None, None, None, None, None)
+
+
+_tile_gather_ranked_abs.defvjp(_tgra_fwd, _tgra_bwd)
 
 
 def tile_gather_cm(

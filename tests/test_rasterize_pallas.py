@@ -242,3 +242,45 @@ def test_ranked_vjp_matches_scatter():
     a_exact = absgrad_scatter(tile_g, tl, packed.shape[0])
     np.testing.assert_allclose(np.asarray(a_perm), np.asarray(a_exact),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_absgrad_seed_matches_tile_eps():
+    """The gather-VJP absgrad seed produces the same per-gaussian |grad|
+    sums as the tile_eps side-channel + standalone reduction."""
+    from qed_splatter_tpu.ops.segment import tile_gather_ranked
+    from qed_splatter_tpu.ops.rasterize import absgrad_scatter
+
+    res, colors, opac, binning = _projected(n=192, seed=13)
+    packed = jnp.concatenate(
+        [res.means2d[0], res.conics[0], colors, opac[:, None]], axis=-1
+    )
+    n = packed.shape[0]
+    t, k = binning.tile_lists.shape
+    cot = jnp.asarray(
+        np.random.default_rng(1).normal(size=(t, packed.shape[1], k)),
+        jnp.float32)
+
+    def loss_seeded(p, seed):
+        g = tile_gather_ranked(p, binning.order, binning.inv_order,
+                               binning.tile_ranks, binning.slab_perm,
+                               binning.slab_bounds, absgrad_seed=seed)
+        return jnp.vdot(jnp.sin(g), cot)
+
+    seed = jnp.zeros((n, 2), jnp.float32)
+    gp, gseed = jax.grad(loss_seeded, argnums=(0, 1))(packed, seed)
+
+    # reference: slab-level means cotangent -> abs scatter by gaussian id
+    def loss_eps(p, eps):
+        g = tile_gather_ranked(p, binning.order, binning.inv_order,
+                               binning.tile_ranks, binning.slab_perm,
+                               binning.slab_bounds)
+        g = g.at[:, 0:2].add(eps.transpose(0, 2, 1))
+        return jnp.vdot(jnp.sin(g), cot)
+
+    eps = jnp.zeros((t, k, 2), jnp.float32)
+    gp2, geps = jax.grad(loss_eps, argnums=(0, 1))(packed, eps)
+    ref = absgrad_scatter(geps, binning.tile_lists, n)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gp2),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gseed), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
