@@ -124,12 +124,19 @@ def grouped_segment_sum(
 
 def permuted_segment_sum(
     values_flat: jnp.ndarray,  # [M, C] slab rows (slot-major)
-    perm: jnp.ndarray,         # [M] int32: slot indices grouped by segment
+    perm: jnp.ndarray,         # [>=M] int32 slot indices grouped by segment;
+                               # entries == M are segment markers -> zero row
     bounds: jnp.ndarray,       # [N+1] int32 segment starts in perm order
 ) -> jnp.ndarray:
     """[N, C] segment sums of slab rows using a precomputed grouping
-    permutation (see ops.tiles.TileBinning.slab_perm/slab_bounds)."""
-    return grouped_segment_sum(values_flat[perm], bounds)
+    permutation (see ops.tiles.TileBinning.slab_perm/slab_bounds). The
+    permutation may interleave marker entries (index == M) that gather a
+    padded zero row and contribute nothing."""
+    padded = jnp.concatenate(
+        [values_flat, jnp.zeros((1, values_flat.shape[1]),
+                                values_flat.dtype)]
+    )
+    return grouped_segment_sum(padded[perm], bounds)
 
 
 def tile_gather_ranked(
@@ -210,7 +217,8 @@ def _tgra_fwd(params, absgrad_seed, order, inv_order, tile_ranks,
 
 def _tgra_bwd(res, g):
     inv_order, perm, bounds, c = res
-    rows = g.transpose(0, 2, 1).reshape(-1, c)[perm]   # grouped by rank
+    rows = g.transpose(0, 2, 1).reshape(-1, c)
+    rows = jnp.concatenate([rows, jnp.zeros((1, c), rows.dtype)])[perm]
     by_rank = grouped_segment_sum(rows, bounds)
     # absgrad: per-gaussian sums of |slab screen-mean cotangents| — the
     # first two channels of the already-gathered rows

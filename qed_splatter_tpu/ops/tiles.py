@@ -103,10 +103,14 @@ def bin_gaussians(
     depth_key = jnp.where(culled, jnp.inf, depths)
     order = jnp.argsort(depth_key).astype(jnp.int32)  # front-to-back, valid first
 
-    mx = means2d[order, 0]
-    my = means2d[order, 1]
-    r = radii[order].astype(means2d.dtype)
-    alive = radii[order] > 0
+    # one packed row gather (four separate column gathers cost ~1 ms each)
+    packed_cols = jnp.concatenate(
+        [means2d, radii[:, None].astype(means2d.dtype)], axis=-1
+    )[order]
+    mx = packed_cols[:, 0]
+    my = packed_cols[:, 1]
+    r = packed_cols[:, 2]
+    alive = r > 0
 
     x0 = jnp.clip(jnp.floor((mx - r) / tile_size), 0, num_tiles_x - 1).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((mx + r) / tile_size), 0, num_tiles_x - 1).astype(jnp.int32)
@@ -190,15 +194,22 @@ def bin_gaussians(
             side="left",
         ).astype(jnp.int32)
         counts = boundaries[1:] - boundaries[:-1]           # [T]
-        # contiguous per-tile slices (DMA-friendly), padded so no slice
-        # clamps; decode rank -> gaussian id only for the T*K survivors
+        # contiguous per-tile K-wide slices as ONE gather op — a vmapped
+        # dynamic_slice lowers to a 4293-iteration while loop (~4.7 ms)
         padded = jnp.concatenate(
             [packed_sorted,
              jnp.full((max_per_tile,), jnp.iinfo(jnp.int32).max, jnp.int32)]
         )
-        slabs = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(padded, (s,), (max_per_tile,))
-        )(boundaries[:-1])                                  # [T, K]
+        slabs = jax.lax.gather(
+            padded,
+            boundaries[:-1, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(),
+                start_index_map=(0,),
+            ),
+            slice_sizes=(max_per_tile,),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )                                                   # [T, K]
         in_range = k_idx < jnp.minimum(counts[:, None], max_per_tile)
         ranks = jnp.where(in_range, slabs & ((1 << rank_bits) - 1), -1)
     else:
@@ -230,23 +241,33 @@ def bin_gaussians(
     # group slab slots by depth rank for the gradient-reduction VJP
     slab_perm = slab_bounds = inv_order = None
     if with_slab_plan:
-        from qed_splatter_tpu.ops.segment import prefix_sum_1d
-
+        # Grouping AND segment bounds from sorts alone (sorts are ~1 ms at
+        # this size; a bounds searchsorted is a 21-pass binary-search while
+        # loop (~18 ms) and a histogram scatter runs on the scalar core
+        # (~9 ms)): merge one marker element per rank into the grouping
+        # sort — key 2*rank for markers sorts immediately BEFORE key
+        # 2*rank+1 slots — then extract the n+1 marker positions (in rank
+        # order by construction) with a second single-operand sort.
+        # Marker payloads index one past the slot range; the reduction
+        # gathers them from a zero pad row, contributing nothing.
         flat = ranks.reshape(-1)
-        sort_key = jnp.where(flat >= 0, flat, n).astype(jnp.int32)
-        slot_iota = jnp.arange(flat.shape[0], dtype=jnp.int32)
-        ranks_grouped, slab_perm = jax.lax.sort(
-            (sort_key, slot_iota), dimension=0, is_stable=False, num_keys=1
+        m_slots = flat.shape[0]
+        slot_key = 2 * jnp.where(flat >= 0, flat, n).astype(jnp.int32) + 1
+        marker_key = 2 * jnp.arange(n + 1, dtype=jnp.int32)
+        payload = jnp.concatenate([
+            jnp.arange(m_slots, dtype=jnp.int32),
+            jnp.full((n + 1,), m_slots, jnp.int32),
+        ])
+        merged_keys, slab_perm = jax.lax.sort(
+            (jnp.concatenate([slot_key, marker_key]), payload),
+            dimension=0, is_stable=False, num_keys=1,
         )
-        # bounds[i] = #slots with rank < i. A searchsorted with N+1 needles
-        # lowers to a 21-pass vmapped binary search (measured 18 ms/step at
-        # 131k needles x 1.1M slots); integer needles make it a histogram
-        # scatter + MXU prefix sum instead (~3 ms).
-        hist = jnp.zeros(n + 1, jnp.int32).at[
-            jnp.minimum(sort_key, n)].add(1, mode="drop")
-        slab_bounds = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), prefix_sum_1d(hist[:n])]
+        pos_if_marker = jnp.where(
+            (merged_keys & 1) == 0,
+            jnp.arange(merged_keys.shape[0], dtype=jnp.int32),
+            jnp.iinfo(jnp.int32).max,
         )
+        slab_bounds = jax.lax.sort(pos_if_marker)[:n + 1]
         inv_order = jnp.argsort(order).astype(jnp.int32)
 
     return TileBinning(
