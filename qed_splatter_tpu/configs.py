@@ -65,6 +65,9 @@ class ModelConfig:
     near_plane: float = 0.01             # model.py:279
     far_plane: float = 1e10              # model.py:280
     use_pallas: bool = True              # pallas kernels on TPU, XLA elsewhere
+    # run the Pallas kernels in interpret mode off-TPU (tests / multichip
+    # dryrun exercise the exact hot-path code a TPU pod would run)
+    pallas_interpret: bool = False
 
 
 @dataclass(frozen=True)

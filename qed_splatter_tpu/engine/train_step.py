@@ -108,7 +108,9 @@ def make_train_step(
     # On the Pallas hot path absgrad comes out of the gather VJP's seed
     # input (one shared row gather); the XLA oracle path uses the tile_eps
     # side-channel + a standalone reduction.
-    pallas_on = cfg.use_pallas and jax.default_backend() == "tpu"
+    pallas_on = cfg.use_pallas and (
+        jax.default_backend() == "tpu" or cfg.pallas_interpret
+    )
 
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
         """batch: c2w [3or4,4], K [3,3], cam_idx int32, rgb [H,W,3],

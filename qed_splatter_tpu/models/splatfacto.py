@@ -131,7 +131,9 @@ def render(
     # Pallas kernels on TPU (5.4x faster fwd+bwd than XLA autodiff at
     # 1296x840/80k gaussians); the XLA rasterizer is the differentiable
     # oracle and the CPU/test path.
-    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+    use_pallas = cfg.use_pallas and (
+        jax.default_backend() == "tpu" or cfg.pallas_interpret
+    )
     binning = bin_gaussians(
         proj.means2d[0],
         radii,

@@ -1,52 +1,78 @@
-"""Sharded multi-camera train step: view-DP x gaussian sharding (GSPMD).
+"""Sharded multi-camera train step: view-DP x gaussian sharding (shard_map).
 
-The TPU-native scaling design (SURVEY §2c, BASELINE.json north star):
+The TPU-native scaling design (SURVEY §2c, BASELINE.json north star),
+written as **explicit SPMD** with `jax.shard_map` rather than GSPMD
+auto-partitioning — the Pallas rasterizer is a custom call XLA cannot
+auto-partition, so every device runs the exact single-chip hot path on its
+local shard and the collectives are placed by hand:
 
 - **view/data parallelism**: B cameras per step, batch leading dim sharded
-  over the mesh 'data' axis — each device renders its own cameras. The mean
-  loss makes gaussian gradients an all-reduce over 'data' (the DDP analog),
-  inserted automatically by GSPMD from the sharding annotations.
-- **gaussian sharding**: parameter/optimizer-state rows (capacity dim)
-  sharded over 'model'. Per-gaussian math (projection, SH, Adam) runs
-  sharded; the rasterizer needs the full projected-splat arrays
-  (~11 floats/gaussian — small), so XLA all-gathers those and
-  reduce-scatters the gradient blocks back. 3D params + Adam moments never
-  materialize unsharded.
+  over the mesh 'data' axis — each data slice renders its own cameras; the
+  per-parameter gradients are summed across slices with `psum('data')`
+  (the DDP analog, riding ICI).
+- **gaussian sharding**: parameter/optimizer-state/densify-stat rows
+  (capacity dim) live sharded over 'model'. Each step `all_gather('model')`
+  reconstructs the full parameter rows (~60 floats/gaussian) for rendering;
+  its transpose is a `psum_scatter('model')` of the gradient blocks — the
+  "gaussian-gradient blocks reduce-scattered" north star. Adam moments and
+  stats never materialize unsharded.
 
-No NCCL/MPI translation — shardings in, XLA collectives out, ICI underneath.
+Feature parity with the single-device step: Pallas kernels (interpret mode
+off-TPU via ``cfg.pallas_interpret``), absgrad via the gather-VJP seed on
+the Pallas path / tile_eps on the XLA oracle path, bilateral grids,
+camera-opt, ``need_absgrad=False`` for the post-densification phase.
+
+No NCCL/MPI translation — collectives in, XLA lowers them onto ICI.
 """
 
 from __future__ import annotations
+
 
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from qed_splatter_tpu.configs import ModelConfig
 from qed_splatter_tpu.engine.densify import DensifyStats
 from qed_splatter_tpu.engine.optim import GroupOptimizers
 from qed_splatter_tpu.engine.train_step import TrainState
+from qed_splatter_tpu.models.bilateral_grid import (
+    apply_bilateral_grid,
+    total_variation_loss,
+)
 from qed_splatter_tpu.models.camera_opt import (
     apply_camera_opt,
     camera_opt_regularizer,
 )
 from qed_splatter_tpu.models.splatfacto import render, total_loss
 from qed_splatter_tpu.ops.segment import absgrad_scatter_sorted as absgrad_scatter
-from qed_splatter_tpu.parallel.mesh import shard_leading_capacity
+
+
+def state_partition_specs(state: TrainState, capacity: int):
+    """PartitionSpec tree: capacity-leading arrays over 'model', everything
+    else replicated."""
+
+    def spec(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == capacity:
+            return P(*(("model",) + (None,) * (x.ndim - 1)))
+        return P()
+
+    return jax.tree.map(spec, state)
 
 
 def state_shardings(state: TrainState, mesh: Mesh):
-    """TrainState sharding tree: capacity-leading arrays over 'model',
-    everything else replicated."""
-    return shard_leading_capacity(state, mesh, state.params.capacity)
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        state_partition_specs(state, state.params.capacity),
+    )
 
 
-def batch_shardings(batch: Dict, mesh: Mesh):
+def batch_partition_specs(batch: Dict):
     return {
-        k: NamedSharding(mesh, P(*(("data",) + (None,) * (v.ndim - 1))))
-        for k, v in batch.items()
+        k: P(*(("data",) + (None,) * (v.ndim - 1))) for k, v in batch.items()
     }
 
 
@@ -59,12 +85,13 @@ def make_sharded_train_step(
     has_depth: bool,
     has_mask: bool = False,
     camera_opt_on: Optional[bool] = None,
+    need_absgrad: bool = True,
 ):
-    """Build the jitted B-camera step.
+    """Build the jitted B-camera SPMD step (jitted once, cached).
 
     batch: c2w [B,3or4,4], K [B,3,3], cam_idx [B], rgb [B,H,W,3],
     depth [B,H,W,1] (if has_depth), mask [B,H,W,1] (if has_mask).
-    B should be a multiple of the mesh 'data' axis.
+    B must be a multiple of the mesh 'data' axis size.
     """
     if camera_opt_on is None:
         camera_opt_on = cfg.camera_opt_mode != "off"
@@ -72,72 +99,205 @@ def make_sharded_train_step(
     num_tiles = (-(-width // ts)) * (-(-height // ts))
     k = cfg.max_per_tile
     max_hw = max(width, height)
+    num_data = mesh.shape["data"]
+    num_model = mesh.shape["model"]
+    pallas_on = cfg.use_pallas and (
+        jax.default_backend() == "tpu" or cfg.pallas_interpret
+    )
 
-    def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
-        b = batch["rgb"].shape[0]
-        bg_keys = jax.random.split(rng, b)
+    def spmd_body(state: TrainState, batch: Dict, rng: jax.Array):
+        # state holds the LOCAL 'model' shard rows; batch the LOCAL 'data'
+        # slice of cameras (replicated across 'model' peers).
+        b_local = batch["rgb"].shape[0]
+        b_total = b_local * num_data
+        cap = state.params.capacity * num_model       # global capacity
+        cap_local = state.params.capacity
+        all_keys = jax.random.split(rng, b_total)
+        bg_keys = lax.dynamic_slice_in_dim(
+            all_keys, lax.axis_index("data") * b_local, b_local, 0
+        )
 
-        def one_camera(gdict, cam_delta, teps, c2w, K, cam_idx, rgb,
-                       depth, mask, bg_key):
-            p = state.params.replace_trainable(gdict)
-            if camera_opt_on:
-                c2w = apply_camera_opt(c2w, cam_delta[cam_idx])
-            out = render(
-                p, c2w, K, width, height, cfg,
-                step=state.step, train=True, bg_rng=bg_key, tile_eps=teps,
-            )
-            loss, losses = total_loss(
-                out, rgb, depth, p, cfg, state.step, mask
-            )
-            if camera_opt_on:
-                reg = camera_opt_regularizer(cam_delta[cam_idx])
-                losses = dict(losses, camera_opt_regularizer=reg)
-                loss = loss + reg
-            return loss, (losses, out.radii, out.tile_lists, out.rgb)
+        def gather_model(x):
+            return lax.all_gather(x, "model", axis=0, tiled=True)
 
-        def loss_fn(gdict, cam_delta, tile_eps):
-            in_axes = (None, None, 0, 0, 0, 0, 0,
+        def local_loss(gdict_local, alive_local, cam_delta, side, bgrids):
+            # reconstruct full parameter rows; the transpose of this
+            # all_gather is the psum_scatter of gradient blocks
+            gdict = jax.tree.map(gather_model, gdict_local)
+            alive = gather_model(alive_local)
+            p = state.params.replace_trainable(gdict).replace(alive=alive)
+
+            def one_camera(c2w, K, cam_idx, rgb, depth, mask, bg_key):
+                if camera_opt_on:
+                    c2w = apply_camera_opt(c2w, cam_delta[cam_idx])
+                out = render(
+                    p, c2w, K, width, height, cfg,
+                    step=state.step, train=True, bg_rng=bg_key,
+                    tile_eps=None if (pallas_on or side is None) else side,
+                    absgrad_seed=side if (pallas_on and side is not None)
+                    else None,
+                )
+                if cfg.use_bilateral_grid:
+                    rgb_c = apply_bilateral_grid(bgrids[cam_idx], out.rgb)
+                    out = out._replace(rgb=jnp.clip(rgb_c, 0.0, 1.0))
+                loss, losses = total_loss(
+                    out, rgb, depth, p, cfg, state.step, mask
+                )
+                if camera_opt_on:
+                    reg = camera_opt_regularizer(cam_delta[cam_idx])
+                    losses = dict(losses, camera_opt_regularizer=reg)
+                    loss = loss + reg
+                mse = jnp.mean((out.rgb - rgb) ** 2)
+                return loss, (losses, out.radii, out.tile_lists, mse)
+
+            in_axes = (0, 0, 0, 0,
                        0 if has_depth else None,
                        0 if has_mask else None, 0)
             losses_all, aux = jax.vmap(
                 one_camera, in_axes=in_axes, out_axes=(0, 0)
             )(
-                gdict, cam_delta, tile_eps,
                 batch["c2w"], batch["K"], batch["cam_idx"], batch["rgb"],
                 batch["depth"] if has_depth else None,
                 batch["mask"] if has_mask else None,
                 bg_keys,
             )
-            return jnp.mean(losses_all), aux
+            loss_local_sum = jnp.sum(losses_all)
+            if cfg.use_bilateral_grid:
+                tv = 10.0 * total_variation_loss(bgrids)
+                aux[0]["tv_loss"] = jnp.broadcast_to(tv, (b_local,))
+                # tv applies once per step, not per camera
+                loss_local_sum = loss_local_sum + tv * b_local / b_total
+            return loss_local_sum / b_total, aux
 
-        tile_eps = jnp.zeros((b, num_tiles, k, 2), jnp.float32)
-        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
-        (loss, (losses, radii_b, tile_lists_b, rgb_b)), (
-            g_params, g_cam, g_eps
-        ) = grad_fn(
-            state.params.trainable_dict(), state.camera_opt, tile_eps
-        )
+        gdict_local = state.params.trainable_dict()
+        if need_absgrad:
+            if pallas_on:
+                side = jnp.zeros((cap, 2), jnp.float32)
+            else:
+                side = jnp.zeros((b_local, num_tiles, k, 2), jnp.float32)
+                # tile_eps is per-camera on the XLA path
+        else:
+            side = None
 
-        cap = state.params.capacity
-        absg = jax.vmap(
-            lambda g, tl: absgrad_scatter(g, tl, cap)
-        )(g_eps, tile_lists_b).sum(axis=0)
-        vis_b = radii_b > 0
-        vis_count = jnp.sum(vis_b.astype(jnp.float32), axis=0)
-        gnorm = jnp.linalg.norm(absg, axis=-1)
-        max_frac = jnp.max(
-            jnp.where(vis_b, radii_b.astype(jnp.float32) / max_hw, 0.0),
-            axis=0,
-        )
-        stats = DensifyStats(
-            grad_norm_sum=state.stats.grad_norm_sum
-            + jnp.where(vis_count > 0, gnorm, 0.0),
-            vis_count=state.stats.vis_count + vis_count,
-            max_radii_frac=jnp.maximum(state.stats.max_radii_frac, max_frac),
-        )
+        if not pallas_on and side is not None:
+            # vmap needs the per-camera tile_eps batched through one_camera;
+            # reshape by closing over it per-camera via vmap of loss is
+            # messy — use the seedless loss and a per-camera eps pytree.
+            def local_loss_eps(gdict_local, alive_local, cam_delta, eps_b,
+                               bgrids):
+                gdict = jax.tree.map(gather_model, gdict_local)
+                alive = gather_model(alive_local)
+                p = state.params.replace_trainable(gdict).replace(alive=alive)
 
+                def one_camera(eps, c2w, K, cam_idx, rgb, depth, mask,
+                               bg_key):
+                    if camera_opt_on:
+                        c2w = apply_camera_opt(c2w, cam_delta[cam_idx])
+                    out = render(
+                        p, c2w, K, width, height, cfg,
+                        step=state.step, train=True, bg_rng=bg_key,
+                        tile_eps=eps,
+                    )
+                    if cfg.use_bilateral_grid:
+                        rgb_c = apply_bilateral_grid(bgrids[cam_idx], out.rgb)
+                        out = out._replace(rgb=jnp.clip(rgb_c, 0.0, 1.0))
+                    loss, losses = total_loss(
+                        out, rgb, depth, p, cfg, state.step, mask
+                    )
+                    if camera_opt_on:
+                        reg = camera_opt_regularizer(cam_delta[cam_idx])
+                        losses = dict(losses, camera_opt_regularizer=reg)
+                        loss = loss + reg
+                    mse = jnp.mean((out.rgb - rgb) ** 2)
+                    return loss, (losses, out.radii, out.tile_lists, mse)
+
+                in_axes = (0, 0, 0, 0, 0,
+                           0 if has_depth else None,
+                           0 if has_mask else None, 0)
+                losses_all, aux = jax.vmap(
+                    one_camera, in_axes=in_axes, out_axes=(0, 0)
+                )(
+                    eps_b, batch["c2w"], batch["K"], batch["cam_idx"],
+                    batch["rgb"],
+                    batch["depth"] if has_depth else None,
+                    batch["mask"] if has_mask else None,
+                    bg_keys,
+                )
+                loss_local_sum = jnp.sum(losses_all)
+                if cfg.use_bilateral_grid:
+                    tv = 10.0 * total_variation_loss(bgrids)
+                    aux[0]["tv_loss"] = jnp.broadcast_to(tv, (b_local,))
+                    loss_local_sum = loss_local_sum + tv * b_local / b_total
+                return loss_local_sum / b_total, aux
+
+            loss_fn = local_loss_eps
+        else:
+            loss_fn = local_loss
+
+        bgrids = state.bilateral_grids
+        loss_local, vjp_fn, aux = jax.vjp(
+            loss_fn,
+            gdict_local, state.params.alive, state.camera_opt, side, bgrids,
+            has_aux=True,
+        )
+        losses, radii_b, tile_lists_b, mse_b = aux
+        g_gdict, _, g_cam, g_side, g_bgrid = vjp_fn(jnp.float32(1.0))
+
+        # cross-'data' gradient sums. The all_gather transpose already
+        # psum_scattered gradient blocks over 'model' — but every 'model'
+        # peer rendered the same cameras, so those blocks carry num_model
+        # duplicate contributions.
+        g_gdict = jax.tree.map(
+            lambda x: lax.psum(x, "data") / num_model, g_gdict
+        )
+        if camera_opt_on:
+            g_cam = lax.psum(g_cam, "data")
+        if cfg.use_bilateral_grid and g_bgrid is not None:
+            g_bgrid = lax.psum(g_bgrid, "data")
+        loss = lax.psum(loss_local, "data")
+
+        # densify statistics on the local stat rows
+        if need_absgrad:
+            if pallas_on:
+                absg = lax.psum(g_side, "data")          # [cap_global, 2]
+            else:
+                absg = lax.psum(
+                    jax.vmap(
+                        lambda g, tl: absgrad_scatter(g, tl, cap)
+                    )(g_side, tile_lists_b).sum(axis=0),
+                    "data",
+                )
+            shard0 = lax.axis_index("model") * cap_local
+            absg_local = lax.dynamic_slice(absg, (shard0, 0), (cap_local, 2))
+            vis_b = radii_b > 0                          # [b_local, cap]
+            vis_count = lax.psum(
+                jnp.sum(vis_b.astype(jnp.float32), axis=0), "data"
+            )
+            max_frac = lax.pmax(
+                jnp.max(
+                    jnp.where(vis_b, radii_b.astype(jnp.float32) / max_hw,
+                              0.0),
+                    axis=0,
+                ),
+                "data",
+            )
+            vis_local = lax.dynamic_slice(vis_count, (shard0,), (cap_local,))
+            frac_local = lax.dynamic_slice(max_frac, (shard0,), (cap_local,))
+            gnorm = jnp.linalg.norm(absg_local, axis=-1)
+            stats = DensifyStats(
+                grad_norm_sum=state.stats.grad_norm_sum
+                + jnp.where(vis_local > 0, gnorm, 0.0),
+                vis_count=state.stats.vis_count + vis_local,
+                max_radii_frac=jnp.maximum(
+                    state.stats.max_radii_frac, frac_local
+                ),
+            )
+        else:
+            stats = state.stats
+
+        # per-group Adam on the LOCAL parameter/moment rows
         new_gparams, new_opt = optims.update(
-            g_params, state.opt_state, state.params.trainable_dict()
+            g_gdict, state.opt_state, gdict_local
         )
         params = state.params.replace_trainable(new_gparams)
         if camera_opt_on:
@@ -147,13 +307,26 @@ def make_sharded_train_step(
             camera_opt = state.camera_opt + upd
         else:
             camera_opt, cam_state = state.camera_opt, state.camera_opt_state
+        if cfg.use_bilateral_grid and g_bgrid is not None:
+            bupd, bstate = optims.txs["bilateral_grid"].update(
+                g_bgrid, state.bilateral_grid_state, bgrids
+            )
+            bgrids = bgrids + bupd
+        else:
+            bstate = state.bilateral_grid_state
 
-        metrics = {k: jnp.mean(v) for k, v in losses.items()}
+        metrics = {
+            kk: lax.psum(jnp.sum(v), "data") / b_total
+            for kk, v in losses.items()
+        }
         metrics["loss"] = loss
-        metrics["gaussian_count"] = params.num_alive()
-        metrics["psnr"] = -10.0 * jnp.log10(
-            jnp.mean((rgb_b - batch["rgb"]) ** 2) + 1e-12
+        metrics["gaussian_count"] = lax.psum(
+            params.num_alive(), "model"
         )
+        metrics["psnr"] = -10.0 * jnp.log10(
+            lax.psum(jnp.sum(mse_b), "data") / b_total + 1e-12
+        )
+
         new_state = TrainState(
             params=params,
             opt_state=new_opt,
@@ -161,28 +334,31 @@ def make_sharded_train_step(
             camera_opt_state=cam_state,
             stats=stats,
             step=state.step + 1,
+            bilateral_grids=bgrids,
+            bilateral_grid_state=bstate,
         )
         return new_state, metrics
 
-    dummy_state_shardings = None  # resolved lazily at first call
+    cache = {}
 
     def jitted(state: TrainState, batch: Dict, rng: jax.Array):
-        nonlocal dummy_state_shardings
-        if dummy_state_shardings is None:
-            dummy_state_shardings = state_shardings(state, mesh)
-        fn = jax.jit(
-            step_fn,
-            in_shardings=(
-                dummy_state_shardings,
-                batch_shardings(batch, mesh),
-                NamedSharding(mesh, P()),
-            ),
-            out_shardings=(
-                dummy_state_shardings,
-                NamedSharding(mesh, P()),
-            ),
-            donate_argnums=(0,),
+        key = (
+            jax.tree.structure((state, batch)),
+            state.params.capacity,
+            batch["rgb"].shape,
         )
-        return fn(state, batch, rng)
+        if key not in cache:
+            st_specs = state_partition_specs(state, state.params.capacity)
+            b_specs = batch_partition_specs(batch)
+            metric_specs = P()
+            mapped = jax.shard_map(
+                spmd_body,
+                mesh=mesh,
+                in_specs=(st_specs, b_specs, P()),
+                out_specs=(st_specs, metric_specs),
+                check_vma=False,
+            )
+            cache[key] = jax.jit(mapped, donate_argnums=(0,))
+        return cache[key](state, batch, rng)
 
     return jitted
