@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -92,18 +93,23 @@ def _ssim_depthwise(
     return jnp.mean(num / den)
 
 
-@functools.lru_cache(maxsize=16)
-def _band_matrix_np(n: int, kernel_size: int, sigma: float):
+def _band_matrix(n: int, kernel_size: int, sigma: float) -> jnp.ndarray:
     """[n, n - k + 1] matrix whose j-th column holds the gaussian taps on
-    rows j..j+k-1: x @ B == valid-mode 1D gaussian blur of x's last axis."""
-    import numpy as np
+    rows j..j+k-1: x @ B == valid-mode 1D gaussian blur of x's last axis.
 
+    Built from iota ops in-graph, NOT as a numpy literal: at 1296x840 the
+    two band matrices are 9.5 MB of f32, which embedded as dense constants
+    dominate the lowered program (~19.5 MB) — large enough to overflow the
+    remote-compile transport. Eleven fused compare-multiply-adds are free.
+    """
     g = _gaussian_kernel_np(kernel_size, sigma)
     nout = n - kernel_size + 1
-    B = np.zeros((n, nout), np.float32)
-    idx = np.arange(nout)
-    for i in range(kernel_size):
-        B[idx + i, idx] = g[i]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, nout), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, nout), 1)
+    d = rows - cols
+    B = jnp.zeros((n, nout), jnp.float32)
+    for t in range(kernel_size):
+        B = B + jnp.float32(g[t]) * (d == t)
     return B
 
 
@@ -113,8 +119,8 @@ def _blur_band(x: jnp.ndarray, h_axis: int, w_axis: int,
     """Valid-mode separable blur of axes (h_axis, w_axis) via two band-matrix
     matmuls (MXU). Output layout: [*other_axes_in_order, W', H']."""
     h, w = x.shape[h_axis], x.shape[w_axis]
-    bw = jnp.asarray(_band_matrix_np(w, kernel_size, sigma))
-    bh = jnp.asarray(_band_matrix_np(h, kernel_size, sigma))
+    bw = _band_matrix(w, kernel_size, sigma)
+    bh = _band_matrix(h, kernel_size, sigma)
     y = lax.dot_general(
         x, bw, (((w_axis,), (0,)), ((), ())),
         precision=precision, preferred_element_type=jnp.float32,

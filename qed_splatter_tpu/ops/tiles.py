@@ -182,15 +182,20 @@ def bin_gaussians(
     # cap, where only T*K elements remain.
     rank_bits = max((n - 1).bit_length(), 1)
     tile_bits = int(num_tiles).bit_length()
-    if rank_bits + tile_bits <= 31:
+    if rank_bits + tile_bits <= 32:
         # key = tile << rank_bits | depth_rank: UNIQUE keys (no stability
         # needed — rank in the low bits IS the within-tile depth order) and
         # the sort moves half the bytes of a (key, value) pair sort.
-        packed = (keys << rank_bits) | rank_rows
+        # uint32 buys capacities up to 2^(32 - tile_bits) before the
+        # two-operand fallback.
+        packed = (
+            (keys.astype(jnp.uint32) << rank_bits)
+            | rank_rows.astype(jnp.uint32)
+        )
         packed_sorted = jax.lax.sort(packed, dimension=0, is_stable=False)
         boundaries = jnp.searchsorted(
             packed_sorted,
-            jnp.arange(num_tiles + 1, dtype=jnp.int32) << rank_bits,
+            jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits,
             side="left",
         ).astype(jnp.int32)
         counts = boundaries[1:] - boundaries[:-1]           # [T]
@@ -198,7 +203,8 @@ def bin_gaussians(
         # dynamic_slice lowers to a 4293-iteration while loop (~4.7 ms)
         padded = jnp.concatenate(
             [packed_sorted,
-             jnp.full((max_per_tile,), jnp.iinfo(jnp.int32).max, jnp.int32)]
+             jnp.full((max_per_tile,), jnp.iinfo(jnp.uint32).max,
+                      jnp.uint32)]
         )
         slabs = jax.lax.gather(
             padded,
@@ -211,7 +217,11 @@ def bin_gaussians(
             mode=jax.lax.GatherScatterMode.CLIP,
         )                                                   # [T, K]
         in_range = k_idx < jnp.minimum(counts[:, None], max_per_tile)
-        ranks = jnp.where(in_range, slabs & ((1 << rank_bits) - 1), -1)
+        ranks = jnp.where(
+            in_range,
+            (slabs & ((1 << rank_bits) - 1)).astype(jnp.int32),
+            -1,
+        )
     else:
         # fallback for shapes whose (tile, rank) bits exceed int32: two-key
         # sort by (tile, depth rank) — the concatenated hierarchical pair
