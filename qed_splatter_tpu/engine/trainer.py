@@ -150,9 +150,17 @@ class Trainer:
         )
         if self.config.load_dir:
             latest = ckpt.latest_checkpoint(self.config.load_dir)
-            if latest is not None:
-                state = ckpt.restore_checkpoint(latest, state)
-                print(f"Resumed from {latest} at step {int(state.step)}")
+            if latest is None:
+                # Silent fresh-init here would make `qed eval` score an
+                # untrained model on a path typo; fail loudly instead.
+                raise FileNotFoundError(
+                    f"--load-dir {self.config.load_dir!r} contains no "
+                    "checkpoint (expected step-XXXXXXXXX dirs; note "
+                    "checkpoints live under "
+                    "<output-dir>/<experiment-name>/ckpts)"
+                )
+            state = ckpt.restore_checkpoint(latest, state)
+            print(f"Resumed from {latest} at step {int(state.step)}")
         return state
 
     # ------------------------------------------------------- step plumbing

@@ -11,11 +11,14 @@ Rebuilds reference metrics.py in JAX:
   computed with the chunked MXU KNN in ops.knn instead of scipy cKDTree;
 - ``mean_angular_error`` (metrics.py:66-80).
 
-LPIPS requires pretrained VGG weights the reference pulls from the network;
-this environment is zero-egress, so ``lpips`` computes only when a weights
-.npz is supplied (``QED_LPIPS_WEIGHTS`` env var or explicit path) and
-reports NaN otherwise — flagged separately in eval output, never silently
-substituted (SURVEY §7 hard part (e)).
+LPIPS requires pretrained backbone weights the reference pulls from the
+network; this environment is zero-egress, so ``lpips`` computes only when a
+weights .npz is supplied (``QED_LPIPS_WEIGHTS`` env var or explicit path)
+and reports NaN otherwise — flagged separately in eval output, never
+silently substituted (SURVEY §7 hard part (e)). With the torchmetrics
+AlexNet checkpoint converted via ``tools/convert_lpips_weights.py``, the
+values are directly comparable to the reference's (same backbone, same
+[0, 1]-input / normalize=False convention — ops/lpips.py).
 """
 
 from __future__ import annotations

@@ -1,0 +1,118 @@
+"""LPIPS golden tests: JAX implementation vs an independent torch
+transcription of torchmetrics' LPIPS (reference metrics.py:95), with
+identical random weights.
+
+Pretrained checkpoints cannot exist in this zero-egress image, so parity
+is established on the *computation*: same architecture (alex and vgg16
+backbones), same scaling layer, same normalize-eps placement, same head/
+spatial/layer reductions. The torch side is written from the torchmetrics
+/richzhang formula directly (torch.nn only; torchvision is not installed),
+so the two sides share no code.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from qed_splatter_tpu.ops.lpips import _ARCH, _SCALE, _SHIFT, LPIPS
+
+
+def _torch_lpips(convs, biases, heads, net_type, img0, img1, normalize):
+    """Torch transcription of torchmetrics' _NoTrainLpips forward."""
+    import torch.nn.functional as F
+
+    arch = _ARCH[net_type]
+    shift = torch.tensor(_SHIFT).view(1, 3, 1, 1)
+    scale = torch.tensor(_SCALE).view(1, 3, 1, 1)
+
+    def features(img):
+        x = torch.tensor(np.asarray(img)).permute(2, 0, 1)[None]
+        if normalize:
+            x = 2 * x - 1
+        x = (x - shift) / scale
+        feats = []
+        for (idx, stride, pad), w, b in zip(arch["convs"], convs, biases):
+            x = F.conv2d(x, torch.tensor(w), torch.tensor(b),
+                         stride=stride, padding=pad)
+            x = F.relu(x)
+            if idx in arch["taps"]:
+                feats.append(x)
+            if idx in arch["pools"]:
+                k, s = arch["pools"][idx]
+                x = F.max_pool2d(x, kernel_size=k, stride=s)
+        return feats
+
+    f0, f1 = features(img0), features(img1)
+    total = torch.tensor(0.0)
+    for p, t, h in zip(f0, f1, heads):
+        pn = p / (torch.sqrt((p**2).sum(1, keepdim=True)) + 1e-10)
+        tn = t / (torch.sqrt((t**2).sum(1, keepdim=True)) + 1e-10)
+        d = (pn - tn) ** 2
+        w = torch.tensor(h).reshape(1, -1, 1, 1)
+        total = total + (d * w).sum(1).mean()
+    return float(total)
+
+
+def _random_net(net_type, seed=0):
+    rng = np.random.default_rng(seed)
+    arch = _ARCH[net_type]
+    convs, biases, heads = [], [], []
+    cin = 3
+    for idx, _, _ in arch["convs"]:
+        cout = {0: 16, 2: 16, 3: 24, 5: 24, 6: 32, 7: 32, 8: 32, 10: 32,
+                12: 32, 14: 32, 17: 48, 19: 48, 21: 48, 24: 48, 26: 48,
+                28: 48}[idx]
+        k = 11 if (net_type == "alex" and idx == 0) else (
+            5 if (net_type == "alex" and idx == 3) else 3)
+        convs.append(rng.normal(0, 0.2, (cout, cin, k, k)).astype(np.float32))
+        biases.append(rng.normal(0, 0.1, (cout,)).astype(np.float32))
+        cin = cout
+        if idx in arch["taps"]:
+            heads.append(
+                rng.uniform(0, 1, (1, cout, 1, 1)).astype(np.float32))
+    return convs, biases, heads
+
+
+@pytest.mark.parametrize("net_type", ["alex", "vgg"])
+@pytest.mark.parametrize("normalize", [False, True])
+def test_lpips_matches_torch(net_type, normalize):
+    convs, biases, heads = _random_net(net_type)
+    rng = np.random.default_rng(1)
+    img0 = rng.uniform(0, 1, (64, 96, 3)).astype(np.float32)
+    img1 = np.clip(img0 + rng.normal(0, 0.1, img0.shape), 0, 1).astype(
+        np.float32)
+    ours = float(LPIPS(convs, biases, heads, net_type=net_type,
+                       normalize=normalize)(img0, img1))
+    ref = _torch_lpips(convs, biases, heads, net_type, img0, img1, normalize)
+    assert ours == pytest.approx(ref, rel=1e-4, abs=1e-6)
+    assert ours > 0
+
+
+def test_lpips_zero_on_identical():
+    convs, biases, heads = _random_net("alex", seed=2)
+    img = np.random.default_rng(3).uniform(0, 1, (48, 48, 3)).astype(
+        np.float32)
+    val = float(LPIPS(convs, biases, heads)(img, img))
+    assert abs(val) < 1e-6
+
+
+def test_from_npz_roundtrip(tmp_path):
+    convs, biases, heads = _random_net("alex", seed=4)
+    arch = _ARCH["alex"]
+    data = {}
+    for (idx, _, _), w, b in zip(arch["convs"], convs, biases):
+        data[f"net.features.{idx}.weight"] = w
+        data[f"net.features.{idx}.bias"] = b
+    for k, h in enumerate(heads):
+        data[f"lin{k}.model.1.weight"] = h
+    path = tmp_path / "lpips.npz"
+    np.savez(path, **data)
+    m = LPIPS.from_npz(str(path))
+    assert m.net_type == "alex"
+    rng = np.random.default_rng(5)
+    img0 = rng.uniform(0, 1, (40, 56, 3)).astype(np.float32)
+    img1 = rng.uniform(0, 1, (40, 56, 3)).astype(np.float32)
+    direct = float(LPIPS(convs, biases, heads)(img0, img1))
+    loaded = float(m(img0, img1))
+    assert loaded == pytest.approx(direct, rel=1e-6)
