@@ -68,6 +68,10 @@ class ModelConfig:
     # run the Pallas kernels in interpret mode off-TPU (tests / multichip
     # dryrun exercise the exact hot-path code a TPU pod would run)
     pallas_interpret: bool = False
+    # bf16 MXU operands in the compositing kernels during training (synced
+    # from TrainerConfig.mixed_precision, reference config.py:32); eval
+    # renders stay f32
+    mixed_precision: bool = False
 
 
 @dataclass(frozen=True)

@@ -82,9 +82,15 @@ def make_scan_steps(
         has_depth=dataset.has_depth, has_mask=dataset.has_mask,
         camera_opt_on=camera_opt_on, need_absgrad=need_absgrad,
     ).__wrapped__
-    data = dataset.data
 
-    def run(state: TrainState, perm: jnp.ndarray, rng: jax.Array):
+    # ``data`` is an explicit jit argument, NOT a closure: jit's call path
+    # inlines closed-over arrays as stablehlo literal constants, so a
+    # closure would embed the whole image cache in the program (measured
+    # 335 MB at 1296x840x44 frames — breaking any compile-payload limit
+    # and bloating every recompile); as an argument it is a zero-copy
+    # device buffer reference.
+    def run(state: TrainState, perm: jnp.ndarray, rng: jax.Array,
+            data: Dict[str, jnp.ndarray]):
         def body(carry, sel):
             st, key = carry
             key, sub = jax.random.split(key)
@@ -111,4 +117,9 @@ def make_scan_steps(
         )
         return state, metrics
 
-    return jax.jit(run, donate_argnums=(0,))
+    jitted = jax.jit(run, donate_argnums=(0,))
+
+    def call(state: TrainState, perm: jnp.ndarray, rng: jax.Array):
+        return jitted(state, perm, rng, dataset.data)
+
+    return call

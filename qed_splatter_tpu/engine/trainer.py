@@ -72,6 +72,13 @@ class Trainer:
                  datamanager: Optional[FullImageDatamanager] = None):
         self.config = config
         self.cfg = config.model
+        if config.mixed_precision and not self.cfg.mixed_precision:
+            # TrainerConfig.mixed_precision (reference config.py:32) is the
+            # user-facing flag; sync it into the model config the render
+            # path reads.
+            import dataclasses as _dc
+
+            self.cfg = _dc.replace(self.cfg, mixed_precision=True)
         try:
             pidx, pcnt = jax.process_index(), jax.process_count()
         except RuntimeError:

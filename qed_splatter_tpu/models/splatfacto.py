@@ -167,6 +167,10 @@ def render(
             order=binning.order,
             inv_order=binning.inv_order,
             absgrad_seed=absgrad_seed,
+            # reference TrainerConfig.mixed_precision (config.py:32):
+            # bf16 MXU operands in the compositing kernels, train only
+            # (eval renders and metrics stay f32)
+            mixed_precision=cfg.mixed_precision and train,
         )
     else:
         out = rasterize_tiles(

@@ -284,3 +284,44 @@ def test_absgrad_seed_matches_tile_eps():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gseed), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_mixed_precision_close_to_f32():
+    """bf16-operand kernels (ModelConfig.mixed_precision, reference
+    config.py:32) must stay within the bf16 rounding envelope of the f32
+    kernels — forward and analytic backward."""
+    res, colors, opac, binning = _projected(with_depth=True)
+    args = (
+        binning.tile_lists, res.means2d[0], res.conics[0], colors, opac,
+        W, H, binning.num_tiles_x,
+    )
+    f32 = rasterize_tiles_pallas(*args)
+    mp = rasterize_tiles_pallas(*args, mixed_precision=True)
+    assert np.allclose(np.asarray(f32.render), np.asarray(mp.render),
+                       atol=5e-2)
+    assert np.allclose(np.asarray(f32.alpha), np.asarray(mp.alpha),
+                       atol=2e-2)
+    # mean abs error should be well inside bf16 rounding, not just the max
+    assert float(jnp.mean(jnp.abs(f32.render - mp.render))) < 5e-3
+
+    def loss(mixed):
+        out = rasterize_tiles_pallas(
+            binning.tile_lists, res.means2d[0], res.conics[0], colors, opac,
+            W, H, binning.num_tiles_x, mixed_precision=mixed,
+        )
+        return jnp.sum(out.render ** 2) + jnp.sum(out.alpha)
+
+    g32 = jax.grad(lambda m, c, cl, o: jnp.sum(
+        rasterize_tiles_pallas(binning.tile_lists, m, c, cl, o, W, H,
+                               binning.num_tiles_x).render ** 2
+    ), argnums=(0, 1, 2, 3))(res.means2d[0], res.conics[0], colors, opac)
+    gmp = jax.grad(lambda m, c, cl, o: jnp.sum(
+        rasterize_tiles_pallas(binning.tile_lists, m, c, cl, o, W, H,
+                               binning.num_tiles_x,
+                               mixed_precision=True).render ** 2
+    ), argnums=(0, 1, 2, 3))(res.means2d[0], res.conics[0], colors, opac)
+    for a, b in zip(g32, gmp):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(b))
+        scale = np.abs(a).max() + 1e-6
+        assert np.abs(a - b).max() / scale < 5e-2
