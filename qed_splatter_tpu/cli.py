@@ -153,6 +153,31 @@ def cmd_init_pc(argv) -> int:
     return 0
 
 
+def add_crop_args(parser) -> None:
+    """Crop-box flags (reference model.py:217-239 / nerfstudio viewer
+    crop): an oriented box in *scene space* (the model's coordinate frame,
+    i.e. the space `qed view` navigates); gaussians outside are excluded."""
+    parser.add_argument("--crop-center", type=float, nargs=3, default=None,
+                        metavar=("X", "Y", "Z"))
+    parser.add_argument("--crop-size", type=float, nargs=3, default=None,
+                        metavar=("SX", "SY", "SZ"))
+    parser.add_argument("--crop-rotation", type=float, nargs=9, default=None,
+                        help="row-major 3x3 box rotation (default identity)")
+
+
+def crop_from_args(ns):
+    """CropBox from --crop-* flags; None when no crop requested."""
+    if ns.crop_center is None and ns.crop_size is None:
+        return None
+    from qed_splatter_tpu.models.crop import CropBox
+
+    return CropBox(
+        center=tuple(ns.crop_center or (0.0, 0.0, 0.0)),
+        size=tuple(ns.crop_size or (2.0, 2.0, 2.0)),
+        rotation=tuple(ns.crop_rotation) if ns.crop_rotation else None,
+    )
+
+
 def cmd_export(argv) -> int:
     from qed_splatter_tpu.engine import checkpoint as ckpt
 
@@ -161,6 +186,7 @@ def cmd_export(argv) -> int:
     parser.add_argument("--output", default="splat.ply")
     parser.add_argument("--pointcloud", action="store_true",
                         help="write plain xyz/rgb instead of 3DGS layout")
+    add_crop_args(parser)
     ns = parser.parse_args(argv)
     try:
         state = ckpt.load_state(ns.load_dir)
@@ -168,6 +194,13 @@ def cmd_export(argv) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     meta = ckpt.checkpoint_meta(ns.load_dir)
+    crop = crop_from_args(ns)
+    if crop is not None:
+        import jax.numpy as jnp
+
+        state = state.replace(params=state.params.replace(
+            alive=state.params.alive & crop.within(state.params.means)
+        ))
     if ns.pointcloud:
         n = ckpt.export_pointcloud_ply(ns.output, state.params, meta)
     else:
@@ -188,6 +221,7 @@ def cmd_view(argv) -> int:
     parser = argparse.ArgumentParser(prog="qed-view")
     parser.add_argument("--load-dir", required=True)
     parser.add_argument("--port", type=int, default=7007)
+    add_crop_args(parser)
     ns = parser.parse_args(argv)
     try:
         state = ckpt.load_state(ns.load_dir)
@@ -199,7 +233,8 @@ def cmd_view(argv) -> int:
     alive = np.asarray(state.params.alive)
     means = np.asarray(state.params.means)[alive]
     target = tuple(means.mean(0)) if len(means) else (0.0, 0.0, 0.0)
-    viewer = Viewer(cfg, port=ns.port, target=target)
+    viewer = Viewer(cfg, port=ns.port, target=target,
+                    crop=crop_from_args(ns))
     viewer.update(state.params, int(state.step))
     viewer.start()
     print("Press Ctrl-C to stop.")
@@ -222,9 +257,13 @@ def cmd_render(argv) -> int:
     parser = argparse.ArgumentParser(prog="qed-render")
     parser.add_argument("--load-dir", required=True)
     parser.add_argument("--output-dir", default="renders")
-    parser.add_argument("--mode", choices=["orbit", "eval"], default="orbit")
+    parser.add_argument("--mode", choices=["orbit", "eval", "path"],
+                        default="orbit")
     parser.add_argument("--data", default=None,
                         help="dataset (required for --mode eval)")
+    parser.add_argument("--camera-path", default=None,
+                        help="nerfstudio camera-path JSON "
+                             "(required for --mode path)")
     parser.add_argument("--num-frames", type=int, default=60)
     parser.add_argument("--width", type=int, default=960)
     parser.add_argument("--height", type=int, default=540)
@@ -232,6 +271,7 @@ def cmd_render(argv) -> int:
     parser.add_argument("--elevation", type=float, default=0.2)
     parser.add_argument("--depth", action="store_true",
                         help="also write turbo-ish depth visualizations")
+    add_crop_args(parser)
     ns = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -261,6 +301,15 @@ def cmd_render(argv) -> int:
         for item in dm.eval_items():
             c = item["camera"]
             cams.append((c.c2w, c.intrinsics_matrix(), c.width, c.height))
+    elif ns.mode == "path":
+        if not ns.camera_path:
+            print("error: --camera-path required for --mode path",
+                  file=sys.stderr)
+            return 2
+        from qed_splatter_tpu.data.camera_path import load_camera_path
+
+        cams = load_camera_path(ns.camera_path, default_width=ns.width,
+                                default_height=ns.height)
     else:
         alive = np.asarray(state.params.alive)
         means = np.asarray(state.params.means)[alive]
@@ -277,10 +326,11 @@ def cmd_render(argv) -> int:
                 K, ns.width, ns.height,
             ))
 
+    crop = crop_from_args(ns)
     for i, (c2w, K, w, h) in enumerate(cams):
         out = render(
             state.params, jnp.asarray(c2w), jnp.asarray(K), w, h, cfg,
-            step=state.step, train=False,
+            step=state.step, train=False, crop_box=crop,
         )
         rgb = np.clip(np.asarray(out.rgb) * 255, 0, 255).astype(np.uint8)
         Image.fromarray(rgb).save(out_dir / f"frame_{i:05d}.png")

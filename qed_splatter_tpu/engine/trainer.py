@@ -414,7 +414,7 @@ class Trainer:
             last["gaussian_count"] = int(self.state.params.num_alive())
             self.writer.write(step, last, prefix="train")
             if self.viewer is not None:
-                self.viewer.update(self.state.params, step)
+                self.viewer.update(self.state.params, step, metrics=last)
             key = self._callbacks(step, max(ds.width, ds.height), key)
         wall = time.perf_counter() - t0
         done = total - start_step
@@ -473,7 +473,11 @@ class Trainer:
             if cur % cfgt.log_every == 0:
                 self.writer.write(cur, metrics, prefix="train")
                 if self.viewer is not None:
-                    self.viewer.update(self.state.params, cur)
+                    self.viewer.update(
+                        self.state.params, cur,
+                        metrics={k: float(np.asarray(v))
+                                 for k, v in metrics.items()},
+                    )
 
             # refinement / eval / checkpoint cadences
             key = self._callbacks(cur, max(cam.width, cam.height), key)

@@ -1,12 +1,17 @@
-"""Minimal live web viewer (SURVEY D13; reference ``vis="viewer"`` at
-config.py:83).
+"""Live web viewer (SURVEY D13; reference ``vis="viewer"`` at config.py:83).
 
 A dependency-free HTTP server that renders the *current* gaussian state on
-demand: an orbit-controls HTML page polls ``/render`` with camera
-parameters; frames are rendered through the normal eval path and returned
-as PNG. Runs in a daemon thread beside training (the trainer swaps in the
-latest params each step) or standalone over a checkpoint
-(``qed view --load-dir ...``).
+demand — the stand-in for nerfstudio's viser viewer. An orbit-controls HTML
+page polls ``/render`` with camera parameters; frames render through the
+normal eval path and return as PNG. Runs in a daemon thread beside training
+(the trainer swaps in the latest params + metrics each dispatch) or
+standalone over a checkpoint (``qed view --load-dir ...``).
+
+Viewer features mirroring the reference stack's controls:
+- orbit / zoom navigation, resolution picker, depth view toggle
+- **crop box** (reference model.py:217-239): enable + center/size inputs,
+  applied through the same ``CropBox`` path as ``qed render --crop-*``
+- live training HUD: step, loss, PSNR, gaussian count (``/status``)
 """
 
 from __future__ import annotations
@@ -15,7 +20,7 @@ import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import Dict, Optional
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
@@ -23,21 +28,57 @@ import numpy as np
 _PAGE = """<!DOCTYPE html>
 <html><head><title>qed-splatter-tpu viewer</title><style>
 body { margin:0; background:#111; color:#eee; font-family:sans-serif; }
-#hud { position:fixed; top:8px; left:8px; background:#0008; padding:8px;
-       border-radius:6px; font-size:13px; }
+#hud { position:fixed; top:8px; left:8px; background:#0009; padding:10px;
+       border-radius:6px; font-size:13px; max-width:330px; }
+#train { color:#8fd; margin-top:4px; }
+label { display:inline-block; margin-right:6px; }
+input[type=number] { width:52px; background:#222; color:#eee;
+                     border:1px solid #444; }
+select { background:#222; color:#eee; border:1px solid #444; }
 img { display:block; margin:auto; margin-top:20px; max-width:95vw; }
+.row { margin-top:4px; }
 </style></head><body>
-<div id="hud">drag: orbit &middot; wheel: zoom &middot; <span id="s"></span></div>
+<div id="hud">
+  <div>drag: orbit &middot; wheel: zoom &middot; <span id="s"></span></div>
+  <div id="train"></div>
+  <div class="row">
+    <label>res <select id="res">
+      <option>480</option><option selected>640</option>
+      <option>960</option><option>1280</option></select></label>
+    <label><input type="checkbox" id="depth"/> depth</label>
+  </div>
+  <div class="row"><label><input type="checkbox" id="crop"/> crop box</label>
+  </div>
+  <div class="row">c
+    <input type="number" id="ccx" value="0" step="0.1"/>
+    <input type="number" id="ccy" value="0" step="0.1"/>
+    <input type="number" id="ccz" value="0" step="0.1"/></div>
+  <div class="row">sz
+    <input type="number" id="csx" value="2" step="0.1"/>
+    <input type="number" id="csy" value="2" step="0.1"/>
+    <input type="number" id="csz" value="2" step="0.1"/></div>
+</div>
 <img id="v" width="640"/>
 <script>
 let az=0.0, el=0.2, r=3.0, busy=false, dirty=true;
 const img=document.getElementById('v'), hud=document.getElementById('s');
+const $=id=>document.getElementById(id);
+for (const id of ['res','depth','crop','ccx','ccy','ccz','csx','csy','csz'])
+  $(id).addEventListener('change', ()=>{dirty=true;});
 function tick(){
   if(dirty && !busy){
     busy=true; dirty=false;
     const t0=performance.now();
-    const u=`/render?az=${az.toFixed(3)}&el=${el.toFixed(3)}&r=${r.toFixed(2)}&w=640&h=480&_=${Date.now()}`;
-    fetch(u).then(r=>r.blob()).then(b=>{
+    const w=parseInt($('res').value), h=Math.round(w*0.75);
+    img.width=w;
+    let u=`/render?az=${az.toFixed(3)}&el=${el.toFixed(3)}&r=${r.toFixed(2)}`
+         +`&w=${w}&h=${h}&depth=${$('depth').checked?1:0}`;
+    if($('crop').checked){
+      u+=`&crop=1&ccx=${$('ccx').value}&ccy=${$('ccy').value}`
+        +`&ccz=${$('ccz').value}&csx=${$('csx').value}`
+        +`&csy=${$('csy').value}&csz=${$('csz').value}`;
+    }
+    fetch(u+`&_=${Date.now()}`).then(r=>r.blob()).then(b=>{
       img.src=URL.createObjectURL(b);
       hud.textContent=`az ${az.toFixed(2)} el ${el.toFixed(2)} r ${r.toFixed(1)} (${(performance.now()-t0).toFixed(0)} ms)`;
       busy=false;
@@ -52,7 +93,19 @@ window.onmousemove=e=>{ if(!drag) return;
   az+=(e.clientX-lx)*0.01; el+=(e.clientY-ly)*0.01;
   el=Math.max(-1.5,Math.min(1.5,el)); lx=e.clientX; ly=e.clientY; dirty=true;};
 window.onwheel=e=>{ r*=(1+Math.sign(e.deltaY)*0.1); r=Math.max(0.2,r); dirty=true;};
-setInterval(()=>{dirty=true;}, 2000);  // refresh during training
+function poll(){
+  fetch('/status').then(r=>r.json()).then(st=>{
+    let t=`step ${st.step}`;
+    if(st.metrics){
+      if(st.metrics.loss!==undefined) t+=` · loss ${st.metrics.loss.toFixed(4)}`;
+      if(st.metrics.psnr!==undefined) t+=` · psnr ${st.metrics.psnr.toFixed(2)}`;
+    }
+    if(st.gaussian_count) t+=` · ${st.gaussian_count.toLocaleString()} gaussians`;
+    if(st.training) { t+=' · training'; dirty=true; }
+    document.getElementById('train').textContent=t;
+  }).catch(()=>{});
+}
+setInterval(poll, 2000); poll();
 tick();
 </script></body></html>"""
 
@@ -67,16 +120,20 @@ def _encode_png(rgb01: np.ndarray) -> bytes:
 
 
 class ViewerState:
-    """Thread-shared state: current params + render closure."""
+    """Thread-shared state: current params + metrics + render closure."""
 
-    def __init__(self, cfg, target=(0.0, 0.0, 0.0)):
+    def __init__(self, cfg, target=(0.0, 0.0, 0.0), crop=None):
         self.cfg = cfg
         self.target = target
+        self.default_crop = crop
         self.lock = threading.Lock()
         self.params = None
         self.step = 0
+        self.metrics: Dict[str, float] = {}
+        self.training = False
 
-    def update(self, params, step: int) -> None:
+    def update(self, params, step: int,
+               metrics: Optional[Dict[str, float]] = None) -> None:
         import jax
 
         # snapshot to host: the training step donates its state, so holding
@@ -85,8 +142,15 @@ class ViewerState:
         with self.lock:
             self.params = host
             self.step = int(step)
+            if metrics is not None:
+                self.training = True
+                self.metrics = {
+                    k: float(v) for k, v in metrics.items()
+                    if isinstance(v, (int, float, np.floating))
+                }
 
-    def render_frame(self, az, el, radius, width, height) -> np.ndarray:
+    def render_frame(self, az, el, radius, width, height,
+                     crop=None, depth=False) -> np.ndarray:
         import jax.numpy as jnp
 
         from qed_splatter_tpu.models.splatfacto import render
@@ -108,7 +172,12 @@ class ViewerState:
         out = render(
             params, c2w, K, width, height, self.cfg,
             step=jnp.asarray(step), train=False,
+            crop_box=crop if crop is not None else self.default_crop,
         )
+        if depth and out.depth is not None:
+            d = np.asarray(out.depth[..., 0])
+            dn = (d - d.min()) / max(float(d.max() - d.min()), 1e-9)
+            return np.stack([dn, dn, dn], axis=-1)
         return np.asarray(out.rgb)
 
 
@@ -133,9 +202,21 @@ def make_handler(state: ViewerState):
                     return float(q.get(k, [d])[0])
 
                 try:
+                    crop = None
+                    if q.get("crop", ["0"])[0] == "1":
+                        from qed_splatter_tpu.models.crop import CropBox
+
+                        crop = CropBox(
+                            center=(fget("ccx", 0), fget("ccy", 0),
+                                    fget("ccz", 0)),
+                            size=(fget("csx", 2), fget("csy", 2),
+                                  fget("csz", 2)),
+                        )
                     rgb = state.render_frame(
                         fget("az", 0.0), fget("el", 0.2), fget("r", 3.0),
                         int(fget("w", 640)), int(fget("h", 480)),
+                        crop=crop,
+                        depth=q.get("depth", ["0"])[0] == "1",
                     )
                     body = _encode_png(rgb)
                     self.send_response(200)
@@ -148,9 +229,17 @@ def make_handler(state: ViewerState):
                 self.end_headers()
                 self.wfile.write(body)
             elif url.path == "/status":
-                body = json.dumps(
-                    {"step": state.step, "ready": state.params is not None}
-                ).encode()
+                with state.lock:
+                    n = None
+                    if state.params is not None:
+                        n = int(np.sum(np.asarray(state.params.alive)))
+                    body = json.dumps({
+                        "step": state.step,
+                        "ready": state.params is not None,
+                        "training": state.training,
+                        "metrics": state.metrics,
+                        "gaussian_count": n,
+                    }).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
@@ -166,8 +255,9 @@ def make_handler(state: ViewerState):
 class Viewer:
     """Daemon-thread HTTP viewer."""
 
-    def __init__(self, cfg, port: int = 7007, target=(0.0, 0.0, 0.0)):
-        self.state = ViewerState(cfg, target=target)
+    def __init__(self, cfg, port: int = 7007, target=(0.0, 0.0, 0.0),
+                 crop=None):
+        self.state = ViewerState(cfg, target=target, crop=crop)
         self.server = ThreadingHTTPServer(
             ("0.0.0.0", port), make_handler(self.state)
         )
@@ -180,8 +270,9 @@ class Viewer:
         self.thread.start()
         print(f"Viewer running at http://localhost:{self.port}")
 
-    def update(self, params, step) -> None:
-        self.state.update(params, step)
+    def update(self, params, step,
+               metrics: Optional[Dict[str, float]] = None) -> None:
+        self.state.update(params, step, metrics)
 
     def stop(self) -> None:
         self.server.shutdown()

@@ -1,0 +1,164 @@
+"""Viewer + crop-box + camera-path CLI productization (VERDICT r1 #4;
+reference model.py:217-239 crop, config.py:82-83 viewer, ns-render
+camera-path)."""
+
+import json
+import os
+import urllib.request
+
+import numpy as np
+import pytest
+
+from qed_splatter_tpu import cli
+from qed_splatter_tpu.data.camera_path import load_camera_path
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Tiny trained checkpoint + dataset via the public CLI."""
+    from qed_splatter_tpu import testing
+
+    root = tmp_path_factory.mktemp("scene")
+    out = tmp_path_factory.mktemp("out")
+    testing.write_gaussian_dataset(
+        str(root), num_frames=4, width=64, height=48, num_teacher=60,
+        seed=0, eval_every=4,
+    )
+    rc = cli.main(["init-pc", "--data", str(root), "--stride", "2"])
+    assert rc == 0
+    rc = cli.main([
+        "train", "--data", str(root), "--output-dir", str(out),
+        "--max-num-iterations", "20", "--steps-per-eval-image", "100",
+        "--steps-per-eval-all-images", "100", "--steps-per-save", "20",
+        "--model.num-downscales", "0",
+    ])
+    assert rc == 0
+    return str(root), str(out / "qed-splatter" / "ckpts")
+
+
+def test_camera_path_parsing(tmp_path):
+    c2w = np.eye(4)[:3].tolist()
+    path = {
+        "render_width": 80, "render_height": 60, "fps": 24,
+        "camera_path": [
+            {"camera_to_world": np.eye(4).reshape(-1).tolist(), "fov": 50.0},
+            {"camera_to_world": c2w, "fov": 70.0},
+        ],
+    }
+    p = tmp_path / "path.json"
+    p.write_text(json.dumps(path))
+    cams = load_camera_path(str(p))
+    assert len(cams) == 2
+    c2w0, K0, w, h = cams[0]
+    assert (w, h) == (80, 60)
+    assert c2w0.shape == (3, 4)
+    # fov 50 deg vertical: fy = 60 / (2 tan(25 deg))
+    assert K0[1, 1] == pytest.approx(60 / (2 * np.tan(np.radians(25))),
+                                     rel=1e-5)
+    # larger fov -> shorter focal
+    assert cams[1][1][1, 1] < K0[1, 1]
+
+
+def test_render_camera_path_cli(trained, tmp_path):
+    root, ckpts = trained
+    # a 2-frame path orbiting the origin
+    from qed_splatter_tpu.testing import orbit_c2w_opengl
+
+    frames = []
+    for az in (0.0, 1.0):
+        m = np.asarray(orbit_c2w_opengl(3.0, az, 0.2, (0, 0, 0)),
+                       np.float32).reshape(4, 4)
+        frames.append({"camera_to_world": m.reshape(-1).tolist(),
+                       "fov": 60.0})
+    p = tmp_path / "cam.json"
+    p.write_text(json.dumps({"render_width": 64, "render_height": 48,
+                             "camera_path": frames}))
+    out = tmp_path / "renders"
+    rc = cli.main(["render", "--load-dir", ckpts, "--mode", "path",
+                   "--camera-path", str(p), "--output-dir", str(out)])
+    assert rc == 0
+    assert sorted(os.listdir(out)) == ["frame_00000.png", "frame_00001.png"]
+
+
+def test_render_crop_flags(trained, tmp_path):
+    root, ckpts = trained
+    out_full = tmp_path / "full"
+    out_crop = tmp_path / "crop"
+    rc = cli.main(["render", "--load-dir", ckpts, "--mode", "orbit",
+                   "--num-frames", "1", "--width", "64", "--height", "48",
+                   "--output-dir", str(out_full)])
+    assert rc == 0
+    # a degenerate crop box far away excludes everything -> background image
+    rc = cli.main(["render", "--load-dir", ckpts, "--mode", "orbit",
+                   "--num-frames", "1", "--width", "64", "--height", "48",
+                   "--output-dir", str(out_crop),
+                   "--crop-center", "100", "100", "100",
+                   "--crop-size", "0.1", "0.1", "0.1"])
+    assert rc == 0
+    from PIL import Image
+
+    full = np.asarray(Image.open(out_full / "frame_00000.png"))
+    crop = np.asarray(Image.open(out_crop / "frame_00000.png"))
+    assert not np.array_equal(full, crop)
+    # empty crop == pure background: all pixels identical
+    assert np.all(crop.reshape(-1, 3) == crop.reshape(-1, 3)[0])
+
+
+def test_export_crop(trained, tmp_path):
+    root, ckpts = trained
+    full = tmp_path / "full.ply"
+    cropped = tmp_path / "crop.ply"
+    assert cli.main(["export", "--load-dir", ckpts, "--output",
+                     str(full), "--pointcloud"]) == 0
+    from qed_splatter_tpu.data.ply import read_ply
+
+    pts = read_ply(str(full)).positions
+    # crop operates in scene (model) space like the reference's crop_box;
+    # the exported PLY is in world space, so box from the params directly
+    from qed_splatter_tpu.engine import checkpoint as ckpt
+
+    state = ckpt.load_state(ckpts)
+    means = np.asarray(state.params.means)[np.asarray(state.params.alive)]
+    c = means.mean(0)
+    half = (means.max(0) - means.min(0)) / 4  # box holding a strict subset
+    assert cli.main(["export", "--load-dir", ckpts, "--output",
+                     str(cropped), "--pointcloud",
+                     "--crop-center", *[f"{v}" for v in c],
+                     "--crop-size", *[f"{v}" for v in 2 * half]]) == 0
+    n_full = len(pts)
+    n_crop = len(read_ply(str(cropped)).positions)
+    assert 0 < n_crop < n_full
+
+
+def test_viewer_endpoints(trained):
+    root, ckpts = trained
+    from qed_splatter_tpu.engine import checkpoint as ckpt
+    from qed_splatter_tpu.viewer import Viewer
+
+    state = ckpt.load_state(ckpts)
+    cfg = ckpt.model_config_from_meta(ckpt.checkpoint_meta(ckpts))
+    viewer = Viewer(cfg, port=0)  # ephemeral port
+    viewer.update(state.params, int(state.step),
+                  metrics={"loss": 0.5, "psnr": 20.0})
+    viewer.start()
+    base = f"http://127.0.0.1:{viewer.port}"
+    try:
+        html = urllib.request.urlopen(base + "/").read().decode()
+        assert "crop box" in html
+        st = json.loads(urllib.request.urlopen(base + "/status").read())
+        assert st["ready"] and st["training"]
+        assert st["metrics"]["psnr"] == 20.0
+        assert st["gaussian_count"] > 0
+        png = urllib.request.urlopen(
+            base + "/render?az=0&el=0.2&r=3&w=64&h=48").read()
+        assert png[:4] == b"\x89PNG"
+        png_crop = urllib.request.urlopen(
+            base + "/render?az=0&el=0.2&r=3&w=64&h=48&crop=1"
+            "&ccx=100&ccy=100&ccz=100&csx=0.1&csy=0.1&csz=0.1").read()
+        assert png_crop[:4] == b"\x89PNG"
+        assert png_crop != png
+        png_depth = urllib.request.urlopen(
+            base + "/render?az=0&el=0.2&r=3&w=64&h=48&depth=1").read()
+        assert png_depth[:4] == b"\x89PNG"
+    finally:
+        viewer.stop()
