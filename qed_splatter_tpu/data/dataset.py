@@ -109,7 +109,8 @@ class FullImageDatamanager:
         if dist is not None:
             from qed_splatter_tpu.data.undistort import undistort_image
 
-            image = undistort_image(image, cam.intrinsics_matrix(), dist)
+            image = undistort_image(image, cam.intrinsics_matrix(), dist,
+                                    camera_model=cam.camera_model)
             cam = dataclasses.replace(cam, distortion=None)
         item: Dict = {
             "image": image,  # uint8 cache (reference config.py:37)
@@ -125,7 +126,8 @@ class FullImageDatamanager:
                 from qed_splatter_tpu.data.undistort import undistort_image
 
                 depth = undistort_image(
-                    depth, cam.intrinsics_matrix(), dist, nearest=True
+                    depth, cam.intrinsics_matrix(), dist, nearest=True,
+                    camera_model=cam.camera_model,
                 )
             item["depth_image"] = depth[..., None].astype(np.float32)
         if frame.mask_path is not None:
@@ -136,6 +138,13 @@ class FullImageDatamanager:
             )
             if m.shape[:2] != image.shape[:2]:
                 m = _resize_nearest(m, image.shape[0], image.shape[1])
+            if dist is not None:
+                from qed_splatter_tpu.data.undistort import undistort_image
+
+                m = undistort_image(
+                    m, cam.intrinsics_matrix(), dist, nearest=True,
+                    camera_model=cam.camera_model,
+                )
             item["mask"] = (m[..., None] > 127).astype(np.float32)
         self._cache[idx] = item
         return item

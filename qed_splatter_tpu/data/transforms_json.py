@@ -226,10 +226,15 @@ def parse_transforms(cfg: DataConfig) -> ParsedScene:
              for k in ("k1", "k2", "k3", "k4", "p1", "p2")],
             dtype=np.float32,
         )
+        cam_model = str(_get(fr, "camera_model", "OPENCV") or "OPENCV")
+        # fisheye images always need the equidistant->perspective remap,
+        # even with all-zero coefficients (theta_d = atan(r) != r)
+        has_dist = np.any(dist != 0) or cam_model == "OPENCV_FISHEYE"
         cam = Camera(
             fx=fl_x, fy=fl_y, cx=cx, cy=cy, width=w, height=h,
             c2w=poses[i, :3, :4].astype(np.float32), cam_idx=i,
-            distortion=dist if np.any(dist != 0) else None,
+            distortion=dist if has_dist else None,
+            camera_model=cam_model,
         )
         depth_path = (
             _resolve(dataset_dir, fr["depth_file_path"])

@@ -6,6 +6,12 @@ nerfstudio's dataparser carries OpenCV distortion coefficients from
 standard forward-distortion remap is done in numpy: for every *undistorted*
 output pixel, distort its normalized coordinates and bilinearly sample the
 source image — identical semantics to ``cv2.undistort`` with the same K.
+
+Two camera models (nerfstudio ``camera_model``):
+- ``OPENCV`` (default): radial k1..k4 + tangential p1 p2 pinhole model
+- ``OPENCV_FISHEYE``: the cv2.fisheye equidistant model — theta = atan(r),
+  theta_d = theta (1 + k1 th^2 + k2 th^4 + k3 th^6 + k4 th^8), point maps
+  to x * theta_d / r (p1/p2 unused)
 """
 
 from __future__ import annotations
@@ -23,8 +29,20 @@ def _distort(x: np.ndarray, y: np.ndarray, dist: np.ndarray):
     return xd, yd
 
 
+def _distort_fisheye(x: np.ndarray, y: np.ndarray, dist: np.ndarray):
+    """cv2.fisheye equidistant model (OPENCV_FISHEYE, k1..k4) on
+    normalized coords: distorted radius = theta_d(atan(r))."""
+    k1, k2, k3, k4 = [float(d) for d in dist[:4]]
+    r = np.sqrt(x * x + y * y)
+    theta = np.arctan(r)
+    t2 = theta * theta
+    theta_d = theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+    scale = np.where(r > 1e-9, theta_d / np.maximum(r, 1e-9), 1.0)
+    return x * scale, y * scale
+
+
 def undistort_map(width: int, height: int, K: np.ndarray,
-                  dist: np.ndarray):
+                  dist: np.ndarray, camera_model: str = "OPENCV"):
     """(map_x, map_y) source pixel coordinates for each output pixel."""
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
@@ -34,7 +52,10 @@ def undistort_map(width: int, height: int, K: np.ndarray,
     )
     x = (u - cx) / fx
     y = (v - cy) / fy
-    xd, yd = _distort(x, y, dist)
+    if camera_model == "OPENCV_FISHEYE":
+        xd, yd = _distort_fisheye(x, y, dist)
+    else:
+        xd, yd = _distort(x, y, dist)
     return (xd * fx + cx).astype(np.float32), (yd * fy + cy).astype(np.float32)
 
 
@@ -55,7 +76,8 @@ def _bilinear_sample(img: np.ndarray, mx: np.ndarray, my: np.ndarray
 
 
 def undistort_image(img: np.ndarray, K: np.ndarray, dist: np.ndarray,
-                    nearest: bool = False) -> np.ndarray:
+                    nearest: bool = False,
+                    camera_model: str = "OPENCV") -> np.ndarray:
     """Undistort [H, W, C] (or [H, W]) image; dtype preserved.
 
     ``nearest=True`` for depth/mask images (no cross-edge blending)."""
@@ -63,7 +85,7 @@ def undistort_image(img: np.ndarray, K: np.ndarray, dist: np.ndarray,
     if squeeze:
         img = img[..., None]
     h, w = img.shape[:2]
-    mx, my = undistort_map(w, h, K, dist)
+    mx, my = undistort_map(w, h, K, dist, camera_model)
     if nearest:
         xi = np.clip(np.rint(mx).astype(np.int32), 0, w - 1)
         yi = np.clip(np.rint(my).astype(np.int32), 0, h - 1)

@@ -71,6 +71,9 @@ class Camera:
     # OpenCV distortion (k1 k2 k3 k4 p1 p2); images are undistorted at load
     # time (nerfstudio D12 behavior), so downstream render path assumes 0.
     distortion: Optional[np.ndarray] = None
+    # nerfstudio camera_model: "OPENCV" (pinhole radial/tangential) or
+    # "OPENCV_FISHEYE" (equidistant, k1..k4) — selects the undistort model
+    camera_model: str = "OPENCV"
     metadata: Optional[dict] = None
 
     def intrinsics_matrix(self) -> np.ndarray:
