@@ -253,15 +253,26 @@ class Trainer:
                 )
             )
 
-            def pad_opt(x, ref_shape):
-                if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == cap:
-                    pad = [(0, new_cap - cap)] + [(0, 0)] * (x.ndim - 1)
-                    return jnp.pad(x, pad)
-                return x
+            def pad_leaf(x):
+                pad = [(0, new_cap - cap)] + [(0, 0)] * (x.ndim - 1)
+                return jnp.pad(x, pad)
 
-            opt_state = jax.tree.map(lambda x: pad_opt(x, None),
-                                     self.state.opt_state)
-            stats = jax.tree.map(lambda x: pad_opt(x, None), self.state.stats)
+            # Adam moment leaves (mu/nu) have exactly their param's shape;
+            # count scalars and any non-moment leaf pass through. Matching
+            # against the param template (not a bare shape[0] == capacity
+            # heuristic) cannot collide with unrelated same-length leaves.
+            old_params = params.trainable_dict()
+            opt_state = {
+                k: jax.tree.map(
+                    lambda x: pad_leaf(x)
+                    if getattr(x, "shape", None) == old_params[k].shape
+                    else x,
+                    self.state.opt_state[k],
+                )
+                for k in self.state.opt_state
+            }
+            # DensifyStats leaves are all capacity-dim by construction
+            stats = jax.tree.map(pad_leaf, self.state.stats)
             self.state = self.state.replace(
                 params=grown, opt_state=opt_state, stats=stats
             )

@@ -174,3 +174,40 @@ def test_process_sharded_views(dataset):
     s1 = set(dm1.train_indices)
     assert not (s0 & s1)
     assert s0 | s1 == set(dm0.scene.train_indices)
+
+
+def test_capacity_growth_pads_state(dataset, tmp_path):
+    """_maybe_grow doubles capacity and pads params, Adam moments (exact
+    param-template matching, not shape heuristics), and densify stats;
+    training continues across the growth."""
+    import jax
+    import numpy as np
+
+    cfg = _tiny_config(dataset, tmp_path)
+    trainer = Trainer(cfg)
+    params = trainer.state.params
+    cap = params.capacity
+    # force the growth trigger: mark > 85% of slots alive
+    n_need = int(0.9 * cap)
+    alive = np.zeros(cap, bool)
+    alive[:n_need] = True
+    trainer.state = trainer.state.replace(
+        params=params.replace(alive=jax.numpy.asarray(alive))
+    )
+    trainer._maybe_grow()
+    grown = trainer.state.params
+    assert grown.capacity == 2 * cap
+    assert grown.means.shape[0] == 2 * cap
+    # padded quat slots are unit quats, not zeros (NaN-gradient guard)
+    assert np.allclose(np.asarray(grown.quats[cap:])[:, 0], 1.0)
+    tmpl = grown.trainable_dict()
+    for k, st in trainer.state.opt_state.items():
+        moments = [
+            x for x in jax.tree.leaves(st)
+            if getattr(x, "shape", None) == tmpl[k].shape
+        ]
+        assert len(moments) >= 2, f"group {k}: mu/nu not padded"
+    assert trainer.state.stats.grad_norm_sum.shape[0] == 2 * cap
+    # the step function still runs at the new capacity
+    trainer.train(max_steps=10)
+    assert np.isfinite(float(np.asarray(trainer.state.params.means).sum()))
