@@ -161,10 +161,20 @@ def _pack_zero_size(tree):
 
 
 def restore_checkpoint(path, template: TrainState) -> TrainState:
-    """Restore into the shapes/dtypes of ``template`` (same capacity)."""
+    """Restore into the shapes/dtypes of ``template`` (same capacity).
+
+    The abstract target carries an explicit single-device sharding for the
+    *current* default device: without it, orbax refuses to restore a
+    checkpoint written on a different backend (e.g. TPU-trained checkpoint
+    opened on CPU for export/render)."""
+    from jax.sharding import SingleDeviceSharding
+
+    dev = jax.devices()[0]
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        lambda x: jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=SingleDeviceSharding(dev)
+        )
         if hasattr(x, "shape") else x,
         _pack_zero_size(template),
     )

@@ -174,27 +174,62 @@ def write_gaussian_dataset(
         scales=jnp.minimum(teacher.scales + 0.7, np.log(0.3)),
         opacities=jnp.full_like(teacher.opacities, 1.5),
     )
+    # The teacher render must be EXACT: fat teacher gaussians overlap
+    # thousands per tile, and any per-tile K truncation prints 16-px
+    # tile-boundary banding into the "ground truth" (observed as an
+    # unfittable-artifact densification explosion in a full-budget run).
+    # Exact strategy at bounded memory: sort teachers by per-view depth,
+    # render disjoint chunks of <= max_per_tile gaussians (no truncation is
+    # possible within a chunk), and combine chunks front-to-back with the
+    # over operator — correct because every gaussian in chunk i is nearer
+    # than every gaussian in chunk j > i under the same depth key the
+    # per-tile compositing sorts by.
     cfg = ModelConfig(background_color="black", camera_opt_mode="off",
-                      max_per_tile=256)
+                      max_per_tile=512)
     f = 0.75 * max(width, height)
     K = np.array(
         [[f, 0, width / 2.0], [0, f, height / 2.0], [0, 0, 1]], np.float32
     )
+
+    def render_exact(c2w):
+        from qed_splatter_tpu.ops.camera import get_viewmat
+
+        viewmat = np.asarray(get_viewmat(jnp.asarray(c2w)[None]))[0]
+        z = (np.asarray(pts) @ viewmat[:3, :3].T + viewmat[:3, 3])[:, 2]
+        order = np.argsort(z)
+        total_rgb = np.zeros((height, width, 3), np.float32)
+        total_depth = np.zeros((height, width), np.float32)
+        transmit = np.ones((height, width), np.float32)
+        for s0 in range(0, len(order), cfg.max_per_tile):
+            ids = order[s0:s0 + cfg.max_per_tile]
+            alive = np.zeros(teacher.capacity, bool)
+            alive[ids] = True
+            chunk = teacher.replace(alive=jnp.asarray(alive))
+            out = render(chunk, jnp.asarray(c2w), jnp.asarray(K),
+                         width, height, cfg, step=jnp.asarray(10_000),
+                         train=False)
+            acc_c = np.asarray(out.accumulation[..., 0])
+            # black background: out.rgb IS the premultiplied chunk color;
+            # the depth far-fallback only fires where acc == 0 -> zero it
+            rgb_c = np.asarray(out.rgb)
+            dep_c = np.where(acc_c > 0, np.asarray(out.depth[..., 0]), 0.0)
+            total_rgb += transmit[..., None] * rgb_c
+            total_depth += transmit * dep_c
+            transmit *= 1.0 - acc_c
+        return total_rgb, total_depth, 1.0 - transmit
+
     frames = []
     for i in range(num_frames):
         az = 1.2 * (i / max(num_frames - 1, 1) - 0.5)
         el = 0.15 + 0.1 * np.sin(2.1 * i)
         c2w = orbit_c2w_opengl(2.6, az, el, target=(0.0, 0.0, 3.0))
-        out = render(teacher, jnp.asarray(c2w), jnp.asarray(K),
-                     width, height, cfg, step=jnp.asarray(10_000),
-                     train=False)
-        rgb = np.clip(np.asarray(out.rgb) * 255, 0, 255).astype(np.uint8)
+        rgb_f, depth_f, acc = render_exact(c2w)
+        rgb = np.clip(rgb_f * 255, 0, 255).astype(np.uint8)
         # emulate an RGB-D sensor: true surface depth = accumulated depth
         # normalized by alpha (the raw RGB+D channel is alpha-weighted and
         # biases toward the camera wherever alpha < 1), invalid where the
         # ray hits nothing
-        acc = np.asarray(out.accumulation[..., 0])
-        depth_m = np.asarray(out.depth[..., 0]) / np.maximum(acc, 1e-6)
+        depth_m = depth_f / np.maximum(acc, 1e-6)
         depth_m = np.where(acc > 0.5, depth_m, 0.0)
         Image.fromarray(rgb).save(root / "images" / f"frame_{i:04d}.png")
         np.save(root / "depth" / f"frame_{i:04d}.npy",

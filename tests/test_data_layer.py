@@ -251,3 +251,25 @@ def test_backproject_geometry(tmp_path):
     # central pixel maps near optical axis
     center = pts[(h // 2) * w + w // 2]
     assert abs(center[0]) < 0.1 and abs(center[1]) < 0.1
+
+
+def test_gaussian_dataset_teacher_not_truncated(tmp_path):
+    """write_gaussian_dataset must composite every teacher gaussian: per-tile
+    K truncation prints 16-px tile-boundary banding into the GT (found as an
+    unfittable-artifact densification explosion in a full-budget run)."""
+    import numpy as np
+    from PIL import Image
+
+    from qed_splatter_tpu import testing
+
+    testing.write_gaussian_dataset(tmp_path, num_frames=1, width=160,
+                                   height=104, num_teacher=800, seed=7)
+    img = np.asarray(Image.open(tmp_path / "images" / "frame_0000.png"))
+    g = img.astype(np.float32).mean(-1)
+    rd = np.abs(np.diff(g, axis=0))
+    at_boundary = rd[15::16].mean()
+    elsewhere = np.delete(rd, slice(15, None, 16), axis=0).mean()
+    assert at_boundary < 2.0 * elsewhere + 0.5, (
+        f"tile banding: boundary row-diff {at_boundary:.2f} vs "
+        f"{elsewhere:.2f} elsewhere"
+    )
