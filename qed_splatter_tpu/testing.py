@@ -191,6 +191,18 @@ def write_gaussian_dataset(
         [[f, 0, width / 2.0], [0, f, height / 2.0], [0, 0, 1]], np.float32
     )
 
+    import jax
+
+    @jax.jit
+    def _chunk_render(chunk_params, c2w_j):
+        out = render(chunk_params, c2w_j, jnp.asarray(K), width, height,
+                     cfg, step=jnp.asarray(10_000), train=False)
+        acc_c = out.accumulation[..., 0]
+        # black background: out.rgb IS the premultiplied chunk color;
+        # the depth far-fallback only fires where acc == 0 -> zero it
+        dep_c = jnp.where(acc_c > 0, out.depth[..., 0], 0.0)
+        return out.rgb, dep_c, acc_c
+
     def render_exact(c2w):
         from qed_splatter_tpu.ops.camera import get_viewmat
 
@@ -200,19 +212,15 @@ def write_gaussian_dataset(
         total_rgb = np.zeros((height, width, 3), np.float32)
         total_depth = np.zeros((height, width), np.float32)
         transmit = np.ones((height, width), np.float32)
+        c2w_j = jnp.asarray(c2w)
         for s0 in range(0, len(order), cfg.max_per_tile):
             ids = order[s0:s0 + cfg.max_per_tile]
             alive = np.zeros(teacher.capacity, bool)
             alive[ids] = True
             chunk = teacher.replace(alive=jnp.asarray(alive))
-            out = render(chunk, jnp.asarray(c2w), jnp.asarray(K),
-                         width, height, cfg, step=jnp.asarray(10_000),
-                         train=False)
-            acc_c = np.asarray(out.accumulation[..., 0])
-            # black background: out.rgb IS the premultiplied chunk color;
-            # the depth far-fallback only fires where acc == 0 -> zero it
-            rgb_c = np.asarray(out.rgb)
-            dep_c = np.where(acc_c > 0, np.asarray(out.depth[..., 0]), 0.0)
+            rgb_c, dep_c, acc_c = jax.device_get(
+                _chunk_render(chunk, c2w_j)
+            )
             total_rgb += transmit[..., None] * rgb_c
             total_depth += transmit * dep_c
             transmit *= 1.0 - acc_c
