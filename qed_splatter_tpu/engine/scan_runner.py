@@ -122,4 +122,5 @@ def make_scan_steps(
     def call(state: TrainState, perm: jnp.ndarray, rng: jax.Array):
         return jitted(state, perm, rng, dataset.data)
 
+    call._jitted = jitted  # exposed for payload-regression tests
     return call

@@ -211,3 +211,42 @@ def test_capacity_growth_pads_state(dataset, tmp_path):
     # the step function still runs at the new capacity
     trainer.train(max_steps=10)
     assert np.isfinite(float(np.asarray(trainer.state.params.means).sum()))
+
+
+def test_scan_program_payload_excludes_dataset(dataset, tmp_path):
+    """The lowered scan program must not embed the image cache: jit inlines
+    closed-over arrays as stablehlo literal constants (335 MB at full res in
+    the first full-budget run — zero-filled test data hides it by
+    serializing as splats). Guard with incompressible random images."""
+    import numpy as np
+    from PIL import Image
+
+    # overwrite the synthetic dataset's images with random noise so any
+    # embedded literal is visible in the serialized size
+    rng = np.random.default_rng(0)
+    for p in sorted((dataset / "images").glob("*.png")):
+        img = Image.open(p)
+        noise = rng.integers(0, 255, (img.height, img.width, 3), np.uint8)
+        Image.fromarray(noise).save(p)
+
+    cfg = _tiny_config(dataset, tmp_path)
+    trainer = Trainer(cfg)
+    scan_fn, ds = trainer._get_scan_fn(
+        1, 10, need_absgrad=True, capacity=trainer.state.params.capacity
+    )
+    import jax
+
+    perm = np.zeros(10, np.int32)
+    # lower the underlying jitted fn without executing
+    lowered = scan_fn._jitted.lower(
+        trainer.state, perm, jax.random.PRNGKey(0), ds.data
+    )
+    text = lowered.compiler_ir().operation.get_asm(
+        large_elements_limit=1 << 20
+    )
+    nbytes = ds.nbytes()
+    assert nbytes > 100_000  # the dataset is big enough to notice
+    assert len(text) < max(2_000_000, nbytes // 4), (
+        f"scan program asm is {len(text) / 1e6:.1f} MB for a "
+        f"{nbytes / 1e6:.1f} MB dataset — dataset literals embedded?"
+    )
