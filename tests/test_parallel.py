@@ -188,3 +188,29 @@ def test_sharded_step_no_absgrad():
     assert np.isfinite(float(m["loss"]))
     np.testing.assert_array_equal(np.asarray(s2.stats.grad_norm_sum),
                                   np.asarray(state.stats.grad_norm_sum))
+
+
+def test_sharded_step_mixed_precision_runs():
+    """mixed_precision=True flows through the sharded step (bf16 MXU
+    operands in the interpret-mode Pallas kernels) and stays within the
+    bf16 envelope of the f32 sharded step."""
+    import dataclasses
+
+    cfg, optims, state, batch = _setup()
+    rng = jax.random.PRNGKey(5)
+    mesh = make_mesh(2, 4)
+    cfgp = dataclasses.replace(cfg, pallas_interpret=True)
+    fn32 = make_sharded_train_step(cfgp, optims, W, H, mesh, has_depth=True)
+    s32, m32 = fn32(state, batch, rng)
+
+    cfg2, optims2, state2, batch2 = _setup()
+    cfgmp = dataclasses.replace(cfg2, pallas_interpret=True,
+                                mixed_precision=True)
+    fnmp = make_sharded_train_step(cfgmp, optims2, W, H, mesh,
+                                   has_depth=True)
+    smp, mmp = fnmp(state2, batch2, rng)
+
+    assert np.isfinite(float(mmp["loss"]))
+    np.testing.assert_allclose(float(mmp["loss"]), float(m32["loss"]),
+                               rtol=2e-2)
+    assert np.all(np.isfinite(np.asarray(smp.params.means)))
