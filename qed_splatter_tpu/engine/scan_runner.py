@@ -107,7 +107,8 @@ def make_scan_steps(
             st, metrics = inner(st, batch, sub)
             light = {
                 k: metrics[k]
-                for k in ("loss", "psnr", "main_loss", "depth_loss")
+                for k in ("loss", "psnr", "main_loss", "depth_loss",
+                          "tile_overflow")
                 if k in metrics
             }
             return (st, key), light

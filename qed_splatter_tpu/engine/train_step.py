@@ -229,6 +229,8 @@ def make_train_step(
         metrics["psnr"] = -10.0 * jnp.log10(
             jnp.mean((out.rgb - gt_rgb) ** 2) + 1e-12
         )
+        if out.tile_overflow is not None:
+            metrics["tile_overflow"] = out.tile_overflow
 
         new_state = TrainState(
             params=params,

@@ -44,6 +44,10 @@ class RenderOutputs(NamedTuple):
     slab_perm: Optional[jnp.ndarray] = None     # [T*K]
     slab_bounds: Optional[jnp.ndarray] = None   # [N+1]
     inv_order: Optional[jnp.ndarray] = None     # [N] id -> depth rank
+    # observability: per-tile intersections dropped by the max_per_tile cap
+    # (the reference's dynamic pair lists have no cap; a persistently large
+    # value here means renders are quality-bounded by K, not optimization)
+    tile_overflow: Optional[jnp.ndarray] = None  # scalar int32
 
 
 def active_sh_degree(step: jnp.ndarray, sh_degree: int,
@@ -210,6 +214,9 @@ def render(
         slab_perm=binning.slab_perm,
         slab_bounds=binning.slab_bounds,
         inv_order=binning.inv_order,
+        tile_overflow=jax.lax.stop_gradient(jnp.sum(jnp.maximum(
+            binning.tile_counts - cfg.max_per_tile, 0
+        ))),
     )
 
 
