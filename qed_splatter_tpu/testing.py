@@ -170,9 +170,15 @@ def write_gaussian_dataset(
     cols = (np.clip(np.concatenate(cols), 0, 1) * 255).astype(np.uint8)
 
     teacher = init_from_points(pts, cols, capacity=_round_up(len(pts)))
+    # near-opaque teacher (sigmoid(3.0) = 0.95): real RGB-D sensors image
+    # opaque surfaces. With a translucent teacher, the alpha-normalized GT
+    # depth (true surface depth) and the GT RGB (semi-transparent
+    # appearance over the background) are mutually inconsistent — a
+    # perfectly-fit student cannot satisfy both, leaving permanent
+    # competing gradients that drive unbounded densification.
     teacher = teacher.replace(
         scales=jnp.minimum(teacher.scales + 0.7, np.log(0.3)),
-        opacities=jnp.full_like(teacher.opacities, 1.5),
+        opacities=jnp.full_like(teacher.opacities, 3.0),
     )
     # The teacher render must be EXACT: fat teacher gaussians overlap
     # thousands per tile, and any per-tile K truncation prints 16-px
@@ -237,8 +243,12 @@ def write_gaussian_dataset(
         # normalized by alpha (the raw RGB+D channel is alpha-weighted and
         # biases toward the camera wherever alpha < 1), invalid where the
         # ray hits nothing
+        # depth is valid only where the ray is effectively solid
+        # (acc ~ 1): at soft-alpha pixels (silhouette edges) surface depth
+        # conflicts with the translucent RGB appearance; real depth sensors
+        # drop out at those edges too
         depth_m = depth_f / np.maximum(acc, 1e-6)
-        depth_m = np.where(acc > 0.5, depth_m, 0.0)
+        depth_m = np.where(acc > 0.98, depth_m, 0.0)
         Image.fromarray(rgb).save(root / "images" / f"frame_{i:04d}.png")
         np.save(root / "depth" / f"frame_{i:04d}.npy",
                 (depth_m * depth_unit).astype(np.float32))
