@@ -65,6 +65,12 @@ class ModelConfig:
     near_plane: float = 0.01             # model.py:279
     far_plane: float = 1e10              # model.py:280
     use_pallas: bool = True              # pallas kernels on TPU, XLA elsewhere
+    # grow max_per_tile (x2, up to the limit) when the tile_overflow metric
+    # shows the K cap truncating >10% of per-tile intersections — closes
+    # the fixed-K deviation from the reference's dynamic pair lists at the
+    # cost of a bounded number of recompiles
+    adaptive_max_per_tile: bool = False
+    max_per_tile_limit: int = 2048
     # run the Pallas kernels in interpret mode off-TPU (tests / multichip
     # dryrun exercise the exact hot-path code a TPU pod would run)
     pallas_interpret: bool = False

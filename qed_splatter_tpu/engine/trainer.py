@@ -180,7 +180,8 @@ class Trainer:
 
     def _get_step_fn(self, width, height, has_depth, has_mask, capacity,
                      need_absgrad=True):
-        key = (width, height, has_depth, has_mask, capacity, need_absgrad)
+        key = (width, height, has_depth, has_mask, capacity, need_absgrad,
+               self.cfg.max_per_tile)
         if key not in self._step_fns:
             self._step_fns[key] = make_train_step(
                 self.cfg, self.optims, width, height,
@@ -368,13 +369,36 @@ class Trainer:
         from qed_splatter_tpu.engine.scan_runner import make_scan_steps
 
         ds = self._device_dataset(d)
-        key = ("scan", d, chunk, need_absgrad, capacity)
+        key = ("scan", d, chunk, need_absgrad, capacity,
+               self.cfg.max_per_tile)
         if key not in self._step_fns:
             self._step_fns[key] = make_scan_steps(
                 self.cfg, self.optims, ds, chunk,
                 need_absgrad=need_absgrad,
             )
         return self._step_fns[key], ds
+
+    def _maybe_grow_k(self, last: Dict, ds) -> None:
+        """Adaptive per-tile K: double max_per_tile when the K cap is
+        truncating >10% of per-tile intersections (tile_overflow metric).
+        Bounded recompiles: K at most doubles log2(limit/K0) times."""
+        cfg = self.cfg
+        if not cfg.adaptive_max_per_tile:
+            return
+        if cfg.max_per_tile >= cfg.max_per_tile_limit:
+            return
+        overflow = last.get("tile_overflow")
+        if overflow is None:
+            return
+        ts = cfg.tile_size
+        t = (-(-ds.width // ts)) * (-(-ds.height // ts))
+        if overflow > 0.10 * t * cfg.max_per_tile:
+            import dataclasses as _dc
+
+            new_k = min(cfg.max_per_tile * 2, cfg.max_per_tile_limit)
+            print(f"Growing max_per_tile {cfg.max_per_tile} -> {new_k} "
+                  f"(tile_overflow {overflow:.0f})")
+            self.cfg = _dc.replace(cfg, max_per_tile=new_k)
 
     def _use_scan(self) -> bool:
         if self.mesh is not None or self.config.steps_per_dispatch == 1:
@@ -423,6 +447,7 @@ class Trainer:
             step += n
             last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
             last["gaussian_count"] = int(self.state.params.num_alive())
+            self._maybe_grow_k(last, ds)
             self.writer.write(step, last, prefix="train")
             if self.viewer is not None:
                 self.viewer.update(self.state.params, step, metrics=last)

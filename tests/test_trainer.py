@@ -250,3 +250,18 @@ def test_scan_program_payload_excludes_dataset(dataset, tmp_path):
         f"scan program asm is {len(text) / 1e6:.1f} MB for a "
         f"{nbytes / 1e6:.1f} MB dataset — dataset literals embedded?"
     )
+
+
+def test_adaptive_max_per_tile_grows(dataset, tmp_path):
+    """With adaptive_max_per_tile, heavy K-cap truncation (tile_overflow)
+    doubles max_per_tile during training, bounded by max_per_tile_limit."""
+    cfg = _tiny_config(
+        dataset, tmp_path,
+        model_kw=dict(adaptive_max_per_tile=True, max_per_tile_limit=256),
+    )
+    # _tiny_config pins max_per_tile=64; this dense tiny scene overflows it
+    trainer = Trainer(cfg)
+    assert trainer.cfg.max_per_tile == 64
+    trainer.train(max_steps=20)
+    assert trainer.cfg.max_per_tile > 64
+    assert trainer.cfg.max_per_tile <= 256
