@@ -273,3 +273,90 @@ def test_gaussian_dataset_teacher_not_truncated(tmp_path):
         f"tile banding: boundary row-diff {at_boundary:.2f} vs "
         f"{elsewhere:.2f} elsewhere"
     )
+
+
+def test_chunked_exact_render_matches_naive_oracle():
+    """The dataset writer's chunked over-operator compositing must equal the
+    brute-force full-sort oracle — i.e., zero truncation artifacts by
+    construction."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qed_splatter_tpu.configs import ModelConfig
+    from qed_splatter_tpu.models.gaussians import init_from_points
+    from qed_splatter_tpu.models.splatfacto import render
+    from qed_splatter_tpu.ops.camera import get_viewmat
+    from qed_splatter_tpu.ops.naive import rasterize_naive
+    from qed_splatter_tpu.ops.projection import project_gaussians
+    from qed_splatter_tpu.ops.sh import eval_sh_colors
+    from qed_splatter_tpu.testing import orbit_c2w_opengl
+
+    W, H, N, CH = 64, 48, 192, 48  # chunk smaller than N -> 4 chunks
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-0.8, 0.8, (N, 3)).astype(np.float32)
+    pts[:, 2] = pts[:, 2] * 0.5 + 3.0
+    cols = (rng.uniform(0, 1, (N, 3)) * 255).astype(np.uint8)
+    teacher = init_from_points(pts, cols, capacity=N)
+    teacher = teacher.replace(
+        scales=jnp.minimum(teacher.scales + 0.7, np.log(0.3)),
+        opacities=jnp.full_like(teacher.opacities, 3.0),
+    )
+    cfg = ModelConfig(background_color="black", camera_opt_mode="off",
+                      max_per_tile=CH)
+    f = 0.75 * max(W, H)
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    c2w = np.asarray(orbit_c2w_opengl(2.6, 0.2, 0.1, (0, 0, 3.0)),
+                     np.float32)
+
+    # chunked over-operator compositing, as in write_gaussian_dataset
+    viewmat = np.asarray(get_viewmat(jnp.asarray(c2w)[None]))[0]
+    z = (pts @ viewmat[:3, :3].T + viewmat[:3, 3])[:, 2]
+    order = np.argsort(z)
+    total_rgb = np.zeros((H, W, 3), np.float32)
+    total_depth = np.zeros((H, W), np.float32)
+    transmit = np.ones((H, W), np.float32)
+    for s0 in range(0, N, CH):
+        alive = np.zeros(N, bool)
+        alive[order[s0:s0 + CH]] = True
+        chunk = teacher.replace(alive=jnp.asarray(alive))
+        out = render(chunk, jnp.asarray(c2w), jnp.asarray(K), W, H, cfg,
+                     step=jnp.asarray(10_000), train=False)
+        acc_c = np.asarray(out.accumulation[..., 0])
+        total_rgb += transmit[..., None] * np.asarray(out.rgb)
+        total_depth += transmit * np.where(
+            acc_c > 0, np.asarray(out.depth[..., 0]), 0.0)
+        transmit *= 1.0 - acc_c
+
+    # oracle: every gaussian, global depth sort, no caps
+    proj = project_gaussians(
+        teacher.means, teacher.quats, jnp.exp(teacher.scales),
+        jnp.asarray(get_viewmat(jnp.asarray(c2w)[None])),
+        jnp.asarray(K)[None], W, H,
+    )
+    sh = eval_sh_colors(
+        jnp.concatenate([teacher.features_dc[:, None, :],
+                         teacher.features_rest], axis=1),
+        teacher.means, jnp.asarray(c2w[:3, 3]),
+        jnp.asarray(10, jnp.int32), 3,
+    )
+    channels = jnp.concatenate([sh, proj.depths[0][:, None]], axis=-1)
+    opac = jax_sigmoid(teacher.opacities) * proj.compensations[0]
+    oracle = rasterize_naive(
+        proj.means2d[0], proj.conics[0], channels, opac, proj.depths[0],
+        proj.radii[0], W, H,
+    )
+    # per-chunk rgb clipping (slightly negative SH colors) and depth-tie
+    # ordering between chunks leave sub-quantization residue: bound by one
+    # uint8 level (the GT is stored as uint8 anyway)
+    np.testing.assert_allclose(total_rgb, np.asarray(oracle.render[..., :3]),
+                               atol=1.0 / 255.0)
+    np.testing.assert_allclose(total_depth,
+                               np.asarray(oracle.render[..., 3]), atol=2e-2)
+    np.testing.assert_allclose(1.0 - transmit,
+                               np.asarray(oracle.alpha[..., 0]), atol=4e-3)
+
+
+def jax_sigmoid(x):
+    import jax
+
+    return jax.nn.sigmoid(x)
