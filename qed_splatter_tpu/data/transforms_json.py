@@ -253,7 +253,27 @@ def parse_transforms(cfg: DataConfig) -> ParsedScene:
             )
         )
 
-    i_train, i_eval = _split_indices(len(frames), cfg)
+    # nerfstudio's optional explicit split lists take precedence over the
+    # eval_mode heuristics (nerfstudio_dataparser train/val_filenames)
+    train_names = meta.get("train_filenames")
+    val_names = meta.get("val_filenames") or meta.get("test_filenames")
+    if train_names or val_names:
+        by_name = {str(fr["file_path"]): i
+                   for i, fr in enumerate(frames_meta)}
+        i_train = np.asarray(
+            sorted(by_name[n] for n in (train_names or []) if n in by_name),
+            dtype=np.int64,
+        )
+        i_eval = np.asarray(
+            sorted(by_name[n] for n in (val_names or []) if n in by_name),
+            dtype=np.int64,
+        )
+        if i_train.size == 0:
+            i_train = np.setdiff1d(np.arange(len(frames)), i_eval)
+        if i_eval.size == 0:
+            i_eval = np.setdiff1d(np.arange(len(frames)), i_train)
+    else:
+        i_train, i_eval = _split_indices(len(frames), cfg)
 
     points = points_rgb = None
     ply_rel = meta.get("ply_file_path")

@@ -263,6 +263,15 @@ def write_gaussian_dataset(
         "w": width, "h": height,
         "frames": frames,
     }
+    if eval_every > 0:
+        meta["val_filenames"] = [
+            fr["file_path"] for i, fr in enumerate(frames)
+            if i % eval_every == 0
+        ]
+        meta["train_filenames"] = [
+            fr["file_path"] for i, fr in enumerate(frames)
+            if i % eval_every != 0
+        ]
     with open(root / "transforms.json", "w") as fh:
         json.dump(meta, fh, indent=2)
 

@@ -360,3 +360,24 @@ def jax_sigmoid(x):
     import jax
 
     return jax.nn.sigmoid(x)
+
+
+def test_explicit_split_filenames(tmp_path):
+    """nerfstudio's optional train_filenames/val_filenames lists override
+    the eval_mode split heuristics."""
+    import json
+
+    from qed_splatter_tpu.configs import DataConfig
+    from qed_splatter_tpu.data.transforms_json import parse_transforms
+
+    from qed_splatter_tpu import testing
+
+    testing.write_gaussian_dataset(tmp_path, num_frames=6, width=32,
+                                   height=24, num_teacher=64, seed=0,
+                                   eval_every=3)
+    meta = json.loads((tmp_path / "transforms.json").read_text())
+    assert len(meta["val_filenames"]) == 2      # frames 0, 3
+    assert len(meta["train_filenames"]) == 4
+    scene = parse_transforms(DataConfig(data=str(tmp_path)))
+    assert sorted(scene.eval_indices.tolist()) == [0, 3]
+    assert sorted(scene.train_indices.tolist()) == [1, 2, 4, 5]
