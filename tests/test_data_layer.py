@@ -381,3 +381,38 @@ def test_explicit_split_filenames(tmp_path):
     scene = parse_transforms(DataConfig(data=str(tmp_path)))
     assert sorted(scene.eval_indices.tolist()) == [0, 3]
     assert sorted(scene.train_indices.tolist()) == [1, 2, 4, 5]
+
+
+def test_room_dataset_cross_view_consistency(tmp_path):
+    """write_room_dataset: analytic depth must be multi-view consistent —
+    backprojected points from one view reproject onto matching depth in
+    another (occlusions excepted)."""
+    import json
+
+    import numpy as np
+
+    from qed_splatter_tpu import testing
+
+    testing.write_room_dataset(tmp_path, num_frames=6, width=128, height=84,
+                               seed=1)
+    meta = json.loads((tmp_path / "transforms.json").read_text())
+    d1 = np.load(tmp_path / "depth" / "frame_0001.npy") / 1000.0
+    d2 = np.load(tmp_path / "depth" / "frame_0002.npy") / 1000.0
+    c1 = np.asarray(meta["frames"][1]["transform_matrix"])
+    c2 = np.asarray(meta["frames"][2]["transform_matrix"])
+    f, cx, cy = meta["fl_x"], meta["cx"], meta["cy"]
+    H, W = d1.shape
+    u, v = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    dirs = np.stack([(u - cx) / f, -(v - cy) / f, -np.ones_like(u)],
+                    -1).reshape(-1, 3)
+    pts = c1[:3, 3] + d1.reshape(-1, 1) * (dirs @ c1[:3, :3].T)
+    pc = (pts - c2[:3, 3]) @ c2[:3, :3]
+    z = -pc[:, 2]
+    uu = f * (pc[:, 0] / z) + cx
+    vv = f * (-pc[:, 1] / z) + cy
+    ok = (z > 0.05) & (uu >= 0) & (uu < W - 1) & (vv >= 0) & (vv < H - 1)
+    assert ok.sum() > 500
+    samp = d2[np.round(vv[ok]).astype(int), np.round(uu[ok]).astype(int)]
+    consistent = (np.abs(samp - z[ok]) < 0.05).mean()
+    assert consistent > 0.6  # the rest are genuinely occluded
+    assert (d1 > 0).all()    # closed room: every ray hits a surface
