@@ -221,15 +221,20 @@ def test_scan_program_payload_excludes_dataset(dataset, tmp_path):
     import numpy as np
     from PIL import Image
 
-    # overwrite the synthetic dataset's images with random noise so any
-    # embedded literal is visible in the serialized size
+    # copy the dataset and overwrite the copy's images with random noise so
+    # any embedded literal is visible in the serialized size (mutating the
+    # module-scoped fixture would leak into later tests)
+    import shutil
+
+    noisy = tmp_path / "noisy_scene"
+    shutil.copytree(dataset, noisy)
     rng = np.random.default_rng(0)
-    for p in sorted((dataset / "images").glob("*.png")):
+    for p in sorted((noisy / "images").glob("*.png")):
         img = Image.open(p)
         noise = rng.integers(0, 255, (img.height, img.width, 3), np.uint8)
         Image.fromarray(noise).save(p)
 
-    cfg = _tiny_config(dataset, tmp_path)
+    cfg = _tiny_config(noisy, tmp_path)
     trainer = Trainer(cfg)
     scan_fn, ds = trainer._get_scan_fn(
         1, 10, need_absgrad=True, capacity=trainer.state.params.capacity
