@@ -150,6 +150,7 @@ class TrainerConfig:
     load_dir: Optional[str] = None       # checkpoint resume
     seed: int = 42
     vis: Literal["none", "tensorboard", "jsonl", "viewer"] = "jsonl"
+    viewer_port: int = 7007              # ViewerConfig (config.py:82)
     log_every: int = 10
     profile_dir: Optional[str] = None   # jax.profiler trace of steps 10..14
     # steps per device dispatch: 0 = auto (gcd of the cadence settings,

@@ -113,7 +113,7 @@ class Trainer:
         if config.vis == "viewer":
             from qed_splatter_tpu.viewer import Viewer
 
-            self.viewer = Viewer(self.cfg, port=7007)
+            self.viewer = Viewer(self.cfg, port=config.viewer_port)
             self.viewer.start()
         self._step_fns: Dict[Tuple, object] = {}
         self._sharded_fns: Dict[Tuple, object] = {}
