@@ -129,6 +129,18 @@ def cmd_eval(argv) -> int:
     if not cfg.data.data or not cfg.load_dir:
         print("error: --data and --load-dir are required", file=sys.stderr)
         return 2
+    # evaluate with the TRAINED model configuration (sh_degree, background,
+    # rasterize mode, ...) recorded in checkpoint metadata — a default
+    # ModelConfig would crash on e.g. an sh_degree=0 checkpoint. Explicit
+    # --model.* flags still override.
+    if not any(a.startswith("--model.") for a in argv):
+        from qed_splatter_tpu.engine import checkpoint as ckpt
+
+        meta = ckpt.checkpoint_meta(cfg.load_dir)
+        if meta:
+            cfg = dataclasses.replace(
+                cfg, model=ckpt.model_config_from_meta(meta)
+            )
     trainer = Trainer(cfg)
     metrics = trainer.eval_all(int(trainer.state.step))
     for k, v in metrics.items():

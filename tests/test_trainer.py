@@ -270,3 +270,25 @@ def test_adaptive_max_per_tile_grows(dataset, tmp_path):
     trainer.train(max_steps=20)
     assert trainer.cfg.max_per_tile > 64
     assert trainer.cfg.max_per_tile <= 256
+
+
+def test_eval_uses_checkpoint_model_config(dataset, tmp_path):
+    """qed eval restores the TRAINED model config from checkpoint metadata:
+    an sh_degree=0 checkpoint must evaluate without --model flags (a
+    default ModelConfig would look up K=16 SH bases against K=1 coeffs)."""
+    from qed_splatter_tpu import cli
+
+    out = tmp_path / "out0"
+    rc = cli.main([
+        "train", "--data", str(dataset), "--output-dir", str(out),
+        "--max-num-iterations", "20", "--steps-per-eval-image", "100",
+        "--steps-per-eval-all-images", "100", "--steps-per-save", "20",
+        "--model.sh-degree", "0", "--model.num-downscales", "0",
+        "--model.max-per-tile", "64",
+    ])
+    assert rc == 0
+    rc = cli.main([
+        "eval", "--data", str(dataset),
+        "--load-dir", str(out / "qed-splatter" / "ckpts"),
+    ])
+    assert rc == 0
