@@ -245,6 +245,15 @@ def _interpret_default(interpret):
 TILES_PER_INSTANCE = 8
 
 
+def _tiles_per_instance(k: int, t: int) -> int:
+    """Tiles per grid instance, scaled down as K grows so the per-instance
+    VMEM working set (a few [P, K] f32 intermediates per unrolled tile)
+    stays roughly constant (~the K=512 x 8-tile budget that is known to
+    fit)."""
+    return max(1, min(TILES_PER_INSTANCE,
+                      (512 * TILES_PER_INSTANCE) // max(k, 1), t))
+
+
 def _pad_tiles(arrs, t, tb):
     pad = (-t) % tb
     if pad == 0:
@@ -258,7 +267,7 @@ def _composite_fwd_impl(g_means, g_conics, g_colors, g_opac,
                         mixed_precision=False):
     t, d, k = g_colors.shape
     p = tile_size * tile_size
-    tb = min(TILES_PER_INSTANCE, t)
+    tb = _tiles_per_instance(k, t)
     (g_means, g_conics, g_colors, g_opac), tp = _pad_tiles(
         [g_means, g_conics, g_colors, g_opac], t, tb
     )
@@ -303,7 +312,7 @@ def _composite_bwd(num_tiles_x, tile_size, interpret, mixed_precision, res,
     gout, gacc = grads
     t, d, k = g_colors.shape
     p = tile_size * tile_size
-    tb = min(TILES_PER_INSTANCE, t)
+    tb = _tiles_per_instance(k, t)
     (g_means, g_conics, g_colors, g_opac, gout, gacc), tp = _pad_tiles(
         [g_means, g_conics, g_colors, g_opac, gout, gacc], t, tb
     )

@@ -83,7 +83,14 @@ def test_checkpoint_meta_model_config(dataset, tmp_path):
     trainer.train(max_steps=20)
     meta = ckpt.checkpoint_meta(trainer.run_dir / "ckpts")
     restored = ckpt.model_config_from_meta(meta)
-    assert restored == cfg.model
+    # adaptive_max_per_tile may have grown K during training; the grown
+    # value is what the checkpoint correctly records
+    import dataclasses
+
+    assert restored.max_per_tile >= cfg.model.max_per_tile
+    assert dataclasses.replace(
+        restored, max_per_tile=cfg.model.max_per_tile
+    ) == cfg.model
     # legacy checkpoints (top-level sh_degree only) still work
     legacy = ckpt.model_config_from_meta({"sh_degree": 1})
     assert legacy.sh_degree == 1
