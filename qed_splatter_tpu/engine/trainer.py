@@ -540,7 +540,7 @@ class Trainer:
     def _render_eval(self, item: Dict, d: int = 1):
         cam = item["camera"].rescaled(1.0 / d) if d > 1 else item["camera"]
         key = ("eval_render", cam.width, cam.height,
-               self.state.params.capacity)
+               self.state.params.capacity, self.cfg.max_per_tile)
         if key not in self._step_fns:
             w, h = cam.width, cam.height
 
