@@ -108,7 +108,7 @@ def make_scan_steps(
             light = {
                 k: metrics[k]
                 for k in ("loss", "psnr", "main_loss", "depth_loss",
-                          "tile_overflow")
+                          "tile_overflow", "bbox_truncated")
                 if k in metrics
             }
             return (st, key), light

@@ -231,6 +231,8 @@ def make_train_step(
         )
         if out.tile_overflow is not None:
             metrics["tile_overflow"] = out.tile_overflow
+        if out.bbox_truncated is not None:
+            metrics["bbox_truncated"] = out.bbox_truncated
 
         new_state = TrainState(
             params=params,

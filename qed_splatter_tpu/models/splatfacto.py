@@ -48,6 +48,9 @@ class RenderOutputs(NamedTuple):
     # (the reference's dynamic pair lists have no cap; a persistently large
     # value here means renders are quality-bounded by K, not optimization)
     tile_overflow: Optional[jnp.ndarray] = None  # scalar int32
+    # gaussians whose tile bbox exceeded the pair-expansion budget
+    # (TileBinning.num_truncated)
+    bbox_truncated: Optional[jnp.ndarray] = None  # scalar int32
 
 
 def active_sh_degree(step: jnp.ndarray, sh_degree: int,
@@ -217,6 +220,7 @@ def render(
         tile_overflow=jax.lax.stop_gradient(jnp.sum(jnp.maximum(
             binning.tile_counts - cfg.max_per_tile, 0
         ))),
+        bbox_truncated=binning.num_truncated,
     )
 
 
