@@ -148,7 +148,8 @@ def make_sharded_train_step(
                     losses = dict(losses, camera_opt_regularizer=reg)
                     loss = loss + reg
                 mse = jnp.mean((out.rgb - rgb) ** 2)
-                return loss, (losses, out.radii, out.tile_lists, mse)
+                return loss, (losses, out.radii, out.tile_lists, mse,
+                              out.tile_overflow)
 
             in_axes = (0, 0, 0, 0,
                        0 if has_depth else None,
@@ -209,7 +210,8 @@ def make_sharded_train_step(
                         losses = dict(losses, camera_opt_regularizer=reg)
                         loss = loss + reg
                     mse = jnp.mean((out.rgb - rgb) ** 2)
-                    return loss, (losses, out.radii, out.tile_lists, mse)
+                    return loss, (losses, out.radii, out.tile_lists, mse,
+                              out.tile_overflow)
 
                 in_axes = (0, 0, 0, 0, 0,
                            0 if has_depth else None,
@@ -240,7 +242,7 @@ def make_sharded_train_step(
             gdict_local, state.params.alive, state.camera_opt, side, bgrids,
             has_aux=True,
         )
-        losses, radii_b, tile_lists_b, mse_b = aux
+        losses, radii_b, tile_lists_b, mse_b, overflow_b = aux
         g_gdict, _, g_cam, g_side, g_bgrid = vjp_fn(jnp.float32(1.0))
 
         # cross-'data' gradient sums. The all_gather transpose already
@@ -320,6 +322,9 @@ def make_sharded_train_step(
             for kk, v in losses.items()
         }
         metrics["loss"] = loss
+        metrics["tile_overflow"] = (
+            lax.psum(jnp.sum(overflow_b), "data") / b_total
+        )
         metrics["gaussian_count"] = lax.psum(
             params.num_alive(), "model"
         )
