@@ -117,6 +117,11 @@ class Trainer:
             self.viewer.start()
         self._step_fns: Dict[Tuple, object] = {}
         self._sharded_fns: Dict[Tuple, object] = {}
+        # adaptive per-tile K, tracked PER resolution bucket: the coarse
+        # phase (few tiles, many gaussians) saturates K long before full
+        # resolution does; a global K would carry the coarse phase's
+        # worst case into every later bucket
+        self._k_by_d: Dict[int, int] = {}
         self._refine_jit = jax.jit(
             refine,
             static_argnames=(
@@ -378,27 +383,36 @@ class Trainer:
             )
         return self._step_fns[key], ds
 
-    def _maybe_grow_k(self, last: Dict, ds) -> None:
-        """Adaptive per-tile K: double max_per_tile when the K cap is
-        truncating >10% of per-tile intersections (tile_overflow metric).
-        Bounded recompiles: K at most doubles log2(limit/K0) times."""
+    def _k_for(self, d: int) -> int:
+        return self._k_by_d.get(d, self.config.model.max_per_tile)
+
+    def _k_eval(self) -> int:
+        """Eval renders always use the largest K seen so far (they render
+        at full resolution regardless of the training bucket)."""
+        return max([self.config.model.max_per_tile,
+                    *self._k_by_d.values()])
+
+    def _maybe_grow_k(self, last: Dict, ds, d: int) -> None:
+        """Adaptive per-tile K: double this resolution bucket's
+        max_per_tile when the K cap is truncating >10% of per-tile
+        intersections (tile_overflow metric). Bounded recompiles: each
+        bucket's K at most doubles log2(limit/K0) times."""
         cfg = self.cfg
         if not cfg.adaptive_max_per_tile:
             return
-        if cfg.max_per_tile >= cfg.max_per_tile_limit:
+        k_now = self._k_for(d)
+        if k_now >= cfg.max_per_tile_limit:
             return
         overflow = last.get("tile_overflow")
         if overflow is None:
             return
         ts = cfg.tile_size
         t = (-(-ds.width // ts)) * (-(-ds.height // ts))
-        if overflow > 0.10 * t * cfg.max_per_tile:
-            import dataclasses as _dc
-
-            new_k = min(cfg.max_per_tile * 2, cfg.max_per_tile_limit)
-            print(f"Growing max_per_tile {cfg.max_per_tile} -> {new_k} "
+        if overflow > 0.10 * t * k_now:
+            new_k = min(k_now * 2, cfg.max_per_tile_limit)
+            print(f"Growing max_per_tile {k_now} -> {new_k} at 1/{d} res "
                   f"(tile_overflow {overflow:.0f})")
-            self.cfg = _dc.replace(cfg, max_per_tile=new_k)
+            self._k_by_d[d] = new_k
 
     def _use_scan(self) -> bool:
         if self.mesh is not None or self.config.steps_per_dispatch == 1:
@@ -438,6 +452,12 @@ class Trainer:
                 queue.extend(rng.permutation(self.dm.num_train).tolist())
             perm = jnp.asarray(np.asarray(queue[:n], np.int32))
             queue = queue[n:]
+            import dataclasses as _dc
+
+            if self.cfg.max_per_tile != self._k_for(d):
+                self.cfg = _dc.replace(
+                    self.cfg, max_per_tile=self._k_for(d)
+                )
             scan_fn, ds = self._get_scan_fn(
                 d, n, need_absgrad=(step < self.cfg.stop_split_at),
                 capacity=self.state.params.capacity,
@@ -447,7 +467,7 @@ class Trainer:
             step += n
             last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
             last["gaussian_count"] = int(self.state.params.num_alive())
-            self._maybe_grow_k(last, ds)
+            self._maybe_grow_k(last, ds, d)
             self.writer.write(step, last, prefix="train")
             if self.viewer is not None:
                 self.viewer.update(self.state.params, step, metrics=last)
@@ -539,15 +559,20 @@ class Trainer:
 
     def _render_eval(self, item: Dict, d: int = 1):
         cam = item["camera"].rescaled(1.0 / d) if d > 1 else item["camera"]
+        # full-resolution evals use the largest adaptive K seen so far
+        # (the current training bucket may be coarser)
+        import dataclasses as _dc
+
+        eval_cfg = _dc.replace(self.cfg, max_per_tile=self._k_eval())
         key = ("eval_render", cam.width, cam.height,
-               self.state.params.capacity, self.cfg.max_per_tile)
+               self.state.params.capacity, eval_cfg.max_per_tile)
         if key not in self._step_fns:
             w, h = cam.width, cam.height
 
             @jax.jit
             def _eval_fn(params, c2w, K, step):
                 return render(
-                    params, c2w, K, w, h, self.cfg, step=step, train=False
+                    params, c2w, K, w, h, eval_cfg, step=step, train=False
                 )
 
             self._step_fns[key] = _eval_fn
