@@ -198,6 +198,9 @@ def cmd_export(argv) -> int:
     parser.add_argument("--output", default="splat.ply")
     parser.add_argument("--pointcloud", action="store_true",
                         help="write plain xyz/rgb instead of 3DGS layout")
+    parser.add_argument("--format", choices=["ply", "splat"], default=None,
+                        help="output format (default: from --output suffix; "
+                             ".splat = packed 32B/gaussian web-viewer layout)")
     add_crop_args(parser)
     ns = parser.parse_args(argv)
     try:
@@ -213,8 +216,11 @@ def cmd_export(argv) -> int:
         state = state.replace(params=state.params.replace(
             alive=state.params.alive & crop.within(state.params.means)
         ))
+    fmt = ns.format or ("splat" if ns.output.endswith(".splat") else "ply")
     if ns.pointcloud:
         n = ckpt.export_pointcloud_ply(ns.output, state.params, meta)
+    elif fmt == "splat":
+        n = ckpt.export_splat(ns.output, state.params, meta)
     else:
         n = ckpt.export_ply(ns.output, state.params, meta)
     print(f"Wrote {n} gaussians to {ns.output}")

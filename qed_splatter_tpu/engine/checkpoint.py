@@ -273,3 +273,55 @@ def export_pointcloud_ply(path, params: GaussianParams, meta=None) -> int:
     rgb = np.clip(np.asarray(sh_dc_to_rgb(params.features_dc))[idx], 0, 1)
     write_ply(path, means, rgb)
     return len(idx)
+
+
+def pack_splat_buffer(params: GaussianParams, meta=None) -> bytes:
+    """Pack alive gaussians as the 32-byte-per-splat interchange buffer used
+    by web splat viewers (and our own ``/webgl`` viewer): position f32x3,
+    world scale f32x3 (exp of log-scale), color rgba u8x4 (SH dc -> rgb,
+    sigmoid opacity), rotation u8x4 (normalized quat wxyz, c*128+128).
+
+    Splats are ordered by descending volume x opacity so a size-truncated
+    prefix of the buffer is still a faithful preview (large structure
+    first) — lets the live viewer cap payloads during training.
+    """
+    alive = np.asarray(params.alive)
+    idx = np.flatnonzero(alive)
+    n = len(idx)
+    means = np.asarray(params.means, np.float32)[idx]
+    scales_log = np.asarray(params.scales, np.float32)[idx]
+    means, scales_log = _inverse_transform(means, scales_log, meta)
+    scales = np.exp(scales_log)
+    rgb = np.clip(np.asarray(sh_dc_to_rgb(params.features_dc))[idx], 0.0, 1.0)
+    opac = 1.0 / (1.0 + np.exp(-np.asarray(params.opacities, np.float32)[idx]))
+    quats = np.asarray(params.quats, np.float32)[idx]
+    quats = quats / np.maximum(
+        np.linalg.norm(quats, axis=-1, keepdims=True), 1e-12
+    )
+
+    order = np.argsort(
+        -(scales[:, 0] * scales[:, 1] * scales[:, 2] * opac), kind="stable"
+    )
+    rec = np.zeros(
+        n,
+        dtype=np.dtype(
+            [("pos", "<f4", 3), ("scale", "<f4", 3),
+             ("rgba", "u1", 4), ("rot", "u1", 4)]
+        ),
+    )
+    rec["pos"] = means[order]
+    rec["scale"] = scales[order]
+    rec["rgba"][:, :3] = np.clip(rgb[order] * 255.0 + 0.5, 0, 255)
+    rec["rgba"][:, 3] = np.clip(opac[order] * 255.0 + 0.5, 0, 255)
+    rec["rot"] = np.clip(quats[order] * 128.0 + 128.0, 0, 255)
+    return rec.tobytes()
+
+
+def export_splat(path, params: GaussianParams, meta=None) -> int:
+    """Write the alive gaussians as a ``.splat`` file (the 32-byte packed
+    layout of :func:`pack_splat_buffer`), loadable by common web viewers."""
+    buf = pack_splat_buffer(params, meta)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(buf)
+    return len(buf) // 32

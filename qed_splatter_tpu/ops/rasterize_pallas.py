@@ -354,6 +354,47 @@ def _composite_bwd(num_tiles_x, tile_size, interpret, mixed_precision, res,
 composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)
 
 
+# Largest K handed to a single pallas_call. Over-compositing is associative
+# in (color, accumulated alpha): for a front-to-back split A|B of the depth-
+# sorted per-tile lists, out = out_A + (1-acc_A)*out_B and
+# acc = acc_A + (1-acc_A)*acc_B — exact, not an approximation. Chunking
+# bounds the custom-call operand+result bytes: XLA:TPU scope-allocates
+# small pallas operands/results in VMEM (16 MB scoped limit), and at
+# adaptive K>=2048 with few tiles (low-res phase of the schedule) the
+# unchunked call exceeds it (observed: 18.5 MB at K=2048, 78 tiles —
+# compile-time "ran out of memory in memory space vmem"). 1024 keeps the
+# worst per-call footprint ~7 MB while staying MXU-efficient.
+K_CHUNK = 1024
+
+
+def composite_tiles_chunked(g_means, g_conics, g_colors, g_opac,
+                            num_tiles_x, tile_size, interpret,
+                            mixed_precision):
+    """composite_tiles_pallas over depth-ordered K chunks of <= K_CHUNK."""
+    k = g_colors.shape[-1]
+    if k <= K_CHUNK:
+        return composite_tiles_pallas(
+            g_means, g_conics, g_colors, g_opac, num_tiles_x, tile_size,
+            interpret, mixed_precision,
+        )
+    out = None
+    acc = None
+    for s in range(0, k, K_CHUNK):
+        e = min(s + K_CHUNK, k)
+        o, a = composite_tiles_pallas(
+            g_means[..., s:e], g_conics[..., s:e], g_colors[..., s:e],
+            g_opac[..., s:e], num_tiles_x, tile_size, interpret,
+            mixed_precision,
+        )
+        if out is None:
+            out, acc = o, a
+        else:
+            trans = 1.0 - acc          # [T, 1, P]
+            out = out + trans * o
+            acc = acc + trans * a
+    return out, acc
+
+
 def rasterize_tiles_pallas(
     tile_lists: jnp.ndarray,   # [T, K] from bin_gaussians
     means2d: jnp.ndarray,      # [N, 2]
@@ -417,7 +458,7 @@ def rasterize_tiles_pallas(
     g_colors = g[:, 5:5 + d]
     g_opac = g[:, 5 + d:6 + d]
 
-    out, acc = composite_tiles_pallas(
+    out, acc = composite_tiles_chunked(
         g_means, g_conics, g_colors, g_opac, num_tiles_x, tile_size,
         interpret, mixed_precision,
     )

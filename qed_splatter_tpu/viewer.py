@@ -39,7 +39,9 @@ img { display:block; margin:auto; margin-top:20px; max-width:95vw; }
 .row { margin-top:4px; }
 </style></head><body>
 <div id="hud">
-  <div>drag: orbit &middot; wheel: zoom &middot; <span id="s"></span></div>
+  <div>drag: orbit &middot; wheel: zoom &middot;
+       <a href="/webgl" style="color:#9cf">webgl view</a> &middot;
+       <span id="s"></span></div>
   <div id="train"></div>
   <div class="row">
     <label>res <select id="res">
@@ -228,6 +230,43 @@ def make_handler(state: ViewerState):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            elif url.path == "/webgl":
+                from qed_splatter_tpu.viewer_webgl import WEBGL_PAGE
+
+                body = WEBGL_PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/splats":
+                from qed_splatter_tpu.engine.checkpoint import (
+                    pack_splat_buffer,
+                )
+
+                with state.lock:
+                    params = state.params
+                    step = state.step
+                if params is None:
+                    body = b""
+                else:
+                    body = pack_splat_buffer(params)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("X-Step", str(step if params is not None
+                                               else 0))
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/meta":
+                body = json.dumps(
+                    {"target": list(map(float, state.target))}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif url.path == "/status":
                 with state.lock:
                     n = None
@@ -268,7 +307,8 @@ class Viewer:
 
     def start(self) -> None:
         self.thread.start()
-        print(f"Viewer running at http://localhost:{self.port}")
+        print(f"Viewer running at http://localhost:{self.port} "
+              f"(interactive WebGL: http://localhost:{self.port}/webgl)")
 
     def update(self, params, step,
                metrics: Optional[Dict[str, float]] = None) -> None:

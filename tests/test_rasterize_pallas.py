@@ -2,6 +2,7 @@
 analytic-backward vs. autodiff gradients (SURVEY §4.1 kernel parity)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -325,3 +326,40 @@ def test_mixed_precision_close_to_f32():
         assert np.all(np.isfinite(b))
         scale = np.abs(a).max() + 1e-6
         assert np.abs(a - b).max() / scale < 5e-2
+
+
+def test_k_chunked_composite_parity(monkeypatch):
+    """K-axis chunking of the compositing kernel is exact (over-compositing
+    factorizes across a front-to-back split): forward and gradients match
+    the unchunked call. Guards the VMEM-bounding path adaptive max_per_tile
+    relies on at K >= 2048 (K_CHUNK) on real chips."""
+    from qed_splatter_tpu.ops import rasterize_pallas as rp
+
+    res, colors, opac, binning = _projected(n=256, seed=3)
+
+    def run(chunk):
+        monkeypatch.setattr(rp, "K_CHUNK", chunk)
+
+        def loss(means2d, conics, cols, op):
+            out = rp.rasterize_tiles_pallas(
+                binning.tile_lists, means2d, conics, cols, op,
+                W, H, binning.num_tiles_x,
+            )
+            return (jnp.sum(out.render ** 2) + jnp.sum(out.alpha),
+                    (out.render, out.alpha))
+
+        (val, (img, alpha)), grads = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3), has_aux=True
+        )(res.means2d[0], res.conics[0], colors, opac)
+        return val, img, alpha, grads
+
+    # K=128 lists; chunk=32 forces 4 chunks vs the single-call baseline
+    v1, img1, a1, g1 = run(1 << 20)
+    v2, img2, a2, g2 = run(32)
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=3e-5)
+    assert float(v2) == pytest.approx(float(v1), rel=1e-4)
+    for ga, gb in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(gb), np.asarray(ga), atol=5e-4, rtol=1e-3
+        )

@@ -162,3 +162,75 @@ def test_viewer_endpoints(trained):
         assert png_depth[:4] == b"\x89PNG"
     finally:
         viewer.stop()
+
+
+def test_pack_splat_buffer_roundtrip(trained):
+    """32-byte packed layout decodes back to the alive gaussians
+    (positions/scales exact f32, colors/opacity/quat within u8 quantization)."""
+    from qed_splatter_tpu.engine import checkpoint as ckpt
+    from qed_splatter_tpu.models.gaussians import sh_dc_to_rgb
+
+    root, ckpts = trained
+    state = ckpt.load_state(ckpts)
+    params = state.params
+    buf = ckpt.pack_splat_buffer(params)
+    n = int(np.sum(np.asarray(params.alive)))
+    assert len(buf) == 32 * n
+
+    rec = np.frombuffer(buf, dtype=np.dtype(
+        [("pos", "<f4", 3), ("scale", "<f4", 3),
+         ("rgba", "u1", 4), ("rot", "u1", 4)]))
+    idx = np.flatnonzero(np.asarray(params.alive))
+    means = np.asarray(params.means)[idx]
+    scales = np.exp(np.asarray(params.scales)[idx])
+    rgb = np.clip(np.asarray(sh_dc_to_rgb(params.features_dc))[idx], 0, 1)
+    opac = 1 / (1 + np.exp(-np.asarray(params.opacities)[idx]))
+    # buffer is size-sorted: compare as sets keyed by position
+    o_buf = np.lexsort(rec["pos"].T)
+    o_ref = np.lexsort(means.T)
+    np.testing.assert_allclose(rec["pos"][o_buf], means[o_ref], rtol=1e-6)
+    np.testing.assert_allclose(rec["scale"][o_buf], scales[o_ref], rtol=1e-5)
+    np.testing.assert_allclose(rec["rgba"][o_buf, :3] / 255.0, rgb[o_ref],
+                               atol=1 / 255.0 + 1e-6)
+    np.testing.assert_allclose(rec["rgba"][o_buf, 3] / 255.0, opac[o_ref],
+                               atol=1 / 255.0 + 1e-6)
+    q = (rec["rot"].astype(np.float32) - 128.0) / 128.0
+    qn = np.asarray(params.quats)[idx]
+    qn = qn / np.linalg.norm(qn, axis=-1, keepdims=True)
+    np.testing.assert_allclose(q[o_buf], qn[o_ref], atol=1 / 128.0 + 1e-6)
+
+
+def test_viewer_webgl_and_splats_endpoints(trained):
+    from qed_splatter_tpu.engine import checkpoint as ckpt
+    from qed_splatter_tpu.viewer import Viewer
+
+    root, ckpts = trained
+    state = ckpt.load_state(ckpts)
+    cfg = ckpt.model_config_from_meta(ckpt.checkpoint_meta(ckpts))
+    viewer = Viewer(cfg, port=0, target=(0.1, 0.2, 0.3))
+    viewer.update(state.params, int(state.step))
+    viewer.start()
+    base = f"http://127.0.0.1:{viewer.port}"
+    try:
+        html = urllib.request.urlopen(base + "/webgl").read().decode()
+        assert "webgl2" in html and "/splats" in html
+        # the orbit page links to the webgl page
+        assert "/webgl" in urllib.request.urlopen(base + "/").read().decode()
+        resp = urllib.request.urlopen(base + "/splats")
+        body = resp.read()
+        n = int(np.sum(np.asarray(state.params.alive)))
+        assert len(body) == 32 * n
+        assert resp.headers["X-Step"] == str(int(state.step))
+        meta = json.loads(urllib.request.urlopen(base + "/meta").read())
+        assert meta["target"] == [0.1, 0.2, 0.3]
+    finally:
+        viewer.stop()
+
+
+def test_export_splat_format(trained, tmp_path):
+    root, ckpts = trained
+    out = tmp_path / "model.splat"
+    rc = cli.main(["export", "--load-dir", ckpts, "--output", str(out)])
+    assert rc == 0
+    size = os.path.getsize(out)
+    assert size > 0 and size % 32 == 0
