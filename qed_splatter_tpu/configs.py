@@ -83,6 +83,16 @@ class ModelConfig:
     # from TrainerConfig.mixed_precision, reference config.py:32); eval
     # renders stay f32
     mixed_precision: bool = False
+    # zero non-finite gradient elements before the Adam update and report
+    # their count as the ``nonfinite_grads`` train metric. Last line of
+    # defense: a single inf/NaN grad element otherwise propagates through
+    # Adam into the parameters permanently (the torch reference surfaces
+    # this as a visible loss=NaN the user reacts to; an unattended TPU run
+    # must contain it instead).
+    sanitize_grads: bool = True
+    # optional per-group global-norm gradient clip (0 = off, reference
+    # parity: nerfstudio does not clip splatfacto gradients)
+    grad_clip_norm: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -163,6 +173,16 @@ class TrainerConfig:
     # runs a lax.scan over a device-resident image cache (engine.scan_runner)
     steps_per_dispatch: int = 0
     max_device_cache_bytes: int = 4 << 30  # fall back to host loop beyond
+    # --- divergence containment (no reference counterpart: the torch
+    # reference shows loss=NaN to a watching user; an unattended run must
+    # detect, halt, or roll back on its own) ---
+    # "rollback": restore the last finite checkpoint, freeze densification
+    # for divergence_freeze_steps, continue (up to max_rollbacks, then
+    # halt); "halt": save a post-mortem checkpoint and raise;
+    # "ignore": legacy behavior (log only).
+    on_divergence: Literal["halt", "rollback", "ignore"] = "rollback"
+    max_rollbacks: int = 3
+    divergence_freeze_steps: int = 500
 
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)

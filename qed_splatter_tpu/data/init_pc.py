@@ -5,14 +5,15 @@ create_init_pointcloud.py, registered at pyproject.toml:9) without Open3D:
 
 Mode 1 (default): per-frame depth backprojection (batched XLA,
 ops.backproject) with OpenGL->OpenCV extrinsics (create_init_pointcloud.py:
-59-68), per-frame voxel downsample + PLY cache on disk (:193-194, 223-246),
-pairwise tree-merge on disk with level directories, resume-by-existence and
-downsampling past ``max_points`` (:101-145), then a final voxel downsample
-(:260). Mode 2 (``colorize=True``): project an existing cloud into every
-RGB-D frame with a depth-consistency gate |measured - z| <= max(abs_tol,
-rel_tol * z) (:353-354), average accepted samples into uint8 colors,
-unobserved points stay black (:373-386). Writes the PLY and points
-``transforms.json``'s ``ply_file_path`` at it (:393-400, 509-510).
+59-68), per-frame voxel downsample + PLY cache on disk for resume
+(:193-194, 223-246), then a single-pass bounded-memory streaming merge
+(this repo's replacement for the reference's pairwise disk tree, :101-145)
+and a final voxel downsample (:260). Mode 2 (``colorize=True``): project
+the cloud into all RGB-D frames as batched device programs with a
+depth-consistency gate |measured - z| <= max(abs_tol, rel_tol * z)
+(:353-354), average accepted samples into uint8 colors, unobserved points
+stay black (:373-386). Writes the PLY and points ``transforms.json``'s
+``ply_file_path`` at it (:393-400, 509-510).
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ import numpy as np
 
 from qed_splatter_tpu.data.dataset import load_depth
 from qed_splatter_tpu.data.ply import PlyData, read_ply, write_ply
-from qed_splatter_tpu.ops.backproject import backproject_depth, project_points
+from qed_splatter_tpu.ops.backproject import backproject_depth
 from qed_splatter_tpu.ops.camera import opengl_c2w_to_opencv_w2c
 from qed_splatter_tpu.native import voxel_downsample_native as voxel_downsample
 
@@ -119,41 +120,32 @@ def backproject_frame_np(
     return pts
 
 
-def tree_merge_on_disk(
+def streaming_merge(
     ply_paths: List[Path],
-    merge_dir: Path,
     voxel_size: float = 0.03,
     max_points: int = 2_000_000,
     log=print,
-) -> Path:
-    """Pairwise disk merge with resumable levels
-    (create_init_pointcloud.py:101-145)."""
-    merge_dir.mkdir(parents=True, exist_ok=True)
-    current = list(ply_paths)
-    level = 0
-    while len(current) > 1:
-        level_dir = merge_dir / f"level_{level:03d}"
-        level_dir.mkdir(parents=True, exist_ok=True)
-        next_level: List[Path] = []
-        log(f"Tree-merge level {level}: {len(current)} clouds")
-        for i in range(0, len(current), 2):
-            out_path = level_dir / f"merged_{i // 2:06d}.ply"
-            if out_path.exists():
-                next_level.append(out_path)
-                continue
-            if i + 1 < len(current):
-                left = read_ply(current[i])
-                right = read_ply(current[i + 1])
-                pos = np.concatenate([left.positions, right.positions])
-                if len(pos) > max_points:
-                    pos, _ = voxel_downsample(pos, voxel_size)
-                write_ply(out_path, pos)
-            else:
-                shutil.copy2(current[i], out_path)
-            next_level.append(out_path)
-        current = next_level
-        level += 1
-    return current[0]
+) -> np.ndarray:
+    """Single-pass bounded-memory merge of the cached per-frame clouds.
+
+    Voxel downsampling is associative, so no pairwise disk tree is needed:
+    fold frame clouds into one accumulator and re-voxelize whenever it
+    exceeds ``max_points``. Memory stays O(max_points + largest frame);
+    nothing intermediate touches disk (the per-frame PLY cache alone
+    carries resume, since backprojection is the expensive phase). The
+    reference's disk-based merge serves the same budgeted-merge contract
+    (create_init_pointcloud.py:101-145) around Open3D clouds too big to
+    hold in memory at once.
+    """
+    acc = np.empty((0, 3), np.float32)
+    for i, p in enumerate(ply_paths):
+        acc = np.concatenate([acc, read_ply(p).positions.astype(np.float32)])
+        if len(acc) > max_points:
+            before = len(acc)
+            acc, _ = voxel_downsample(acc, voxel_size)
+            log(f"  merge: re-voxelized {before} -> {len(acc)} points "
+                f"after {i + 1}/{len(ply_paths)} frames")
+    return acc
 
 
 def create_pointcloud_from_transforms(args: InitPcArgs, log=print) -> PlyData:
@@ -190,86 +182,117 @@ def create_pointcloud_from_transforms(args: InitPcArgs, log=print) -> PlyData:
         raise RuntimeError(
             "No valid point clouds could be generated from the dataset."
         )
-    merged_path = tree_merge_on_disk(
-        frame_paths, cache_dir / "merge",
+    merged = streaming_merge(
+        frame_paths,
         voxel_size=args.merge_voxel_size, max_points=args.max_points, log=log,
     )
-    merged = read_ply(merged_path)
-    pos, _ = voxel_downsample(merged.positions, args.voxel_size)
+    pos, _ = voxel_downsample(merged, args.voxel_size)
     return PlyData(pos)
 
 
-def colorize_pointcloud(args: InitPcArgs, pcd: PlyData, log=print) -> PlyData:
+def _frame_w2c_opencv(frame: dict) -> np.ndarray:
+    c2w = np.array(frame["transform_matrix"], dtype=np.float64)
+    if c2w.shape == (3, 4):
+        c2w = np.concatenate([c2w, [[0, 0, 0, 1]]], axis=0)
+    w2c44 = np.eye(4, dtype=np.float32)
+    w2c44[:3] = opengl_c2w_to_opencv_w2c(c2w)[:3]
+    return w2c44
+
+
+def colorize_pointcloud(args: InitPcArgs, pcd: PlyData, log=print,
+                        frames_per_batch: int = 8) -> PlyData:
+    """Average depth-consistent RGB samples into point colors.
+
+    The projection + gather + consistency gate for a whole batch of frames
+    runs as ONE device program (ops.backproject.colorize_points) — the
+    host only decodes images and stacks them by resolution. Reference
+    contract: create_init_pointcloud.py:340-389 (tol = max(abs, rel*z),
+    mean of accepted samples, unobserved points stay black).
+    """
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from qed_splatter_tpu.ops.backproject import colorize_points
+
     dataset_path = _resolve_dataset_path(args.data)
     contents = _load_transforms(dataset_path)
     positions = pcd.positions.astype(np.float32)
     n = len(positions)
-    color_sum = np.zeros((n, 3), dtype=np.float64)
-    color_count = np.zeros((n,), dtype=np.int64)
 
     frames = [
         f for f in contents["frames"]
         if "depth_file_path" in f and "file_path" in f
+        and (dataset_path / f["file_path"]).exists()
     ]
     log(f"Colorizing {n} points using {len(frames)} RGB-D frames...")
-    from PIL import Image
 
-    for fi, frame in enumerate(frames):
-        image_path = dataset_path / frame["file_path"]
-        if not image_path.exists():
-            continue
+    def load_frame(frame):
         color = np.asarray(
-            Image.open(image_path).convert("RGB"), dtype=np.float32
+            Image.open(dataset_path / frame["file_path"]).convert("RGB"),
+            dtype=np.float32,
         ) / 255.0
         depth = load_depth(dataset_path / frame["depth_file_path"])
         depth = depth * args.depth_unit_scale_factor
-        depth[~np.isfinite(depth)] = 0.0
-        depth[depth <= 0.0] = 0.0
-        h, w = depth.shape[:2]
-        if color.shape[:2] != (h, w):
-            log(f"  Skipping size mismatch at frame {fi}")
+        depth[~np.isfinite(depth) | (depth <= 0.0)] = 0.0
+        if color.shape[:2] != depth.shape[:2]:
+            return None
+        return color, depth.astype(np.float32)
+
+    # group homogeneous-resolution frames so each device call is a dense
+    # [B, H, W] batch; one compiled program per distinct (B, H, W)
+    pos_dev = jnp.asarray(positions)
+    color_sum = np.zeros((n, 3), np.float64)
+    color_count = np.zeros((n,), np.float64)
+    by_size: dict = {}
+    for frame in frames:
+        loaded = load_frame(frame)
+        if loaded is None:
+            log("  Skipping frame with RGB/depth size mismatch")
             continue
-
-        c2w = np.array(frame["transform_matrix"], dtype=np.float64)
-        if c2w.shape == (3, 4):
-            c2w = np.concatenate([c2w, [[0, 0, 0, 1]]], axis=0)
-        w2c44 = np.eye(4, dtype=np.float32)
-        w2c44[:3] = opengl_c2w_to_opencv_w2c(c2w)[:3]
-        K = _frame_intrinsics(contents, frame)
-        u, v, z = (np.asarray(a) for a in project_points(positions, w2c44, K))
-
-        candidate = (
-            np.isfinite(u) & np.isfinite(v) & np.isfinite(z)
-            & (z > 0.0) & (z <= args.depth_max)
-            & (u >= -0.5) & (u < (w - 0.5))
-            & (v >= -0.5) & (v < (h - 0.5))
+        color, depth = loaded
+        by_size.setdefault(depth.shape, []).append(
+            (color, depth, _frame_w2c_opencv(frame),
+             _frame_intrinsics(contents, frame))
         )
-        if not candidate.any():
-            continue
-        idx = np.flatnonzero(candidate)
-        ui = np.rint(u[idx]).astype(np.int32).clip(0, w - 1)
-        vi = np.rint(v[idx]).astype(np.int32).clip(0, h - 1)
-        zv = z[idx]
-        measured = depth[vi, ui]
-        tol = np.maximum(args.depth_tolerance, args.depth_tolerance_rel * zv)
-        ok = (measured > 0.0) & (np.abs(measured - zv) <= tol)
-        hit = idx[ok]
-        color_sum[hit] += color[vi[ok], ui[ok]]
-        color_count[hit] += 1
+        for shape, batch in list(by_size.items()):
+            if len(batch) >= frames_per_batch:
+                s, c = _colorize_batch(pos_dev, batch, args, colorize_points)
+                color_sum += s
+                color_count += c
+                by_size[shape] = []
+    for batch in by_size.values():
+        if batch:
+            s, c = _colorize_batch(pos_dev, batch, args, colorize_points)
+            color_sum += s
+            color_count += c
 
     colored = color_count > 0
     if not colored.any():
-        raise RuntimeError("No points received color from any RGB frame.")
+        raise RuntimeError(
+            "Colorize failed: no point passed the depth-consistency gate "
+            "in any frame (check depth_unit_scale_factor / tolerances)."
+        )
     colors = np.zeros((n, 3), dtype=np.uint8)
-    colors[colored] = (
-        (color_sum[colored] / color_count[colored, None] * 255.0)
-        .clip(0.0, 255.0).astype(np.uint8)
-    )
+    mean = color_sum[colored] / color_count[colored, None]
+    colors[colored] = np.clip(mean * 255.0, 0.0, 255.0).astype(np.uint8)
     log(
         f"Colored {int(colored.sum())}/{n} points "
         f"({100.0 * colored.sum() / n:.1f}%)"
     )
     return PlyData(positions, colors)
+
+
+def _colorize_batch(pos_dev, batch, args: InitPcArgs, colorize_points):
+    import jax.numpy as jnp
+
+    colors, depths, w2cs, Ks = (np.stack(x) for x in zip(*batch))
+    s, c = colorize_points(
+        pos_dev, jnp.asarray(colors), jnp.asarray(depths),
+        jnp.asarray(w2cs), jnp.asarray(Ks),
+        jnp.float32(args.depth_max), jnp.float32(args.depth_tolerance),
+        jnp.float32(args.depth_tolerance_rel),
+    )
+    return np.asarray(s, np.float64), np.asarray(c, np.float64)
 
 
 def _update_transforms_ply_path(dataset_path: Path, output_name: str) -> None:

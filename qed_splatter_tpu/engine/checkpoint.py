@@ -25,7 +25,8 @@ from qed_splatter_tpu.models.gaussians import GaussianParams, sh_dc_to_rgb
 def save_checkpoint(ckpt_dir, state: TrainState, step: int,
                     dataparser_transform=None,
                     dataparser_scale: float = 1.0,
-                    model_config=None) -> Path:
+                    model_config=None,
+                    k_by_d=None) -> Path:
     ckpt_dir = Path(ckpt_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"step-{step:09d}"
@@ -59,6 +60,12 @@ def save_checkpoint(ckpt_dir, state: TrainState, step: int,
         "model_config": (
             _jsonable_config(model_config) if model_config is not None
             else None
+        ),
+        # adaptive per-resolution-bucket K table: a resume must not
+        # re-enter its bucket at the config default (truncation shock)
+        "k_by_d": (
+            {str(d): int(k) for d, k in k_by_d.items()}
+            if k_by_d else None
         ),
     }
     (ckpt_dir / "latest.json").write_text(json.dumps(meta))

@@ -108,7 +108,8 @@ def make_scan_steps(
             light = {
                 k: metrics[k]
                 for k in ("loss", "psnr", "main_loss", "depth_loss",
-                          "tile_overflow", "bbox_truncated")
+                          "tile_overflow", "bbox_truncated",
+                          "tile_max_count", "nonfinite_grads")
                 if k in metrics
             }
             return (st, key), light

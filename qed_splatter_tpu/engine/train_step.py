@@ -201,6 +201,35 @@ def make_train_step(
                 g_bgrid = None
             stats = state.stats
 
+        # gradient hygiene: count + zero non-finite elements, then the
+        # optional global-norm clip, BEFORE any optimizer state is touched
+        nonfinite = jnp.zeros((), jnp.float32)
+        if cfg.sanitize_grads:
+            def _count(g):
+                return jnp.sum((~jnp.isfinite(g)).astype(jnp.float32))
+
+            def _clean(g):
+                return jnp.where(jnp.isfinite(g), g, 0.0)
+
+            all_grads = [g_params, g_cam]
+            if g_bgrid is not None:
+                all_grads.append(g_bgrid)
+            nonfinite = sum(
+                jax.tree.reduce(lambda a, l: a + _count(l), g, 0.0)
+                for g in all_grads
+            )
+            g_params = jax.tree.map(_clean, g_params)
+            g_cam = _clean(g_cam)
+            if g_bgrid is not None:
+                g_bgrid = jax.tree.map(_clean, g_bgrid)
+        if cfg.grad_clip_norm > 0.0:
+            def _clip(g):
+                n = jnp.sqrt(jnp.sum(g * g) + 1e-20)
+                return g * jnp.minimum(1.0, cfg.grad_clip_norm / n)
+
+            g_params = jax.tree.map(_clip, g_params)
+            g_cam = _clip(g_cam)
+
         # per-group Adam (reference config.py:44-81)
         new_gparams, new_opt = optims.update(
             g_params, state.opt_state, state.params.trainable_dict()
@@ -225,6 +254,8 @@ def make_train_step(
 
         metrics = dict(losses)
         metrics["loss"] = loss
+        if cfg.sanitize_grads:
+            metrics["nonfinite_grads"] = nonfinite
         metrics["gaussian_count"] = params.num_alive()
         metrics["psnr"] = -10.0 * jnp.log10(
             jnp.mean((out.rgb - gt_rgb) ** 2) + 1e-12
@@ -233,6 +264,8 @@ def make_train_step(
             metrics["tile_overflow"] = out.tile_overflow
         if out.bbox_truncated is not None:
             metrics["bbox_truncated"] = out.bbox_truncated
+        if out.tile_max_count is not None:
+            metrics["tile_max_count"] = out.tile_max_count
 
         new_state = TrainState(
             params=params,

@@ -67,6 +67,13 @@ def downscale_depth(depth: np.ndarray, d: int) -> np.ndarray:
     ]
 
 
+class TrainingDiverged(RuntimeError):
+    """Raised when training went non-finite and cannot (or must not, per
+    ``TrainerConfig.on_divergence``) be rolled back. The CLI lets this
+    propagate so an unattended run exits non-zero instead of burning chip
+    time on a dead model (round-2 failure mode)."""
+
+
 class Trainer:
     def __init__(self, config: TrainerConfig,
                  datamanager: Optional[FullImageDatamanager] = None):
@@ -117,6 +124,10 @@ class Trainer:
             self.viewer.start()
         self._step_fns: Dict[Tuple, object] = {}
         self._sharded_fns: Dict[Tuple, object] = {}
+        # divergence containment (TrainerConfig.on_divergence)
+        self._rollbacks = 0
+        self._densify_frozen_until = 0
+        self._good_ckpt: Optional[Tuple[int, int]] = None  # (step, capacity)
         # adaptive per-tile K, tracked PER resolution bucket: the coarse
         # phase (few tiles, many gaussians) saturates K long before full
         # resolution does; a global K would carry the coarse phase's
@@ -172,6 +183,9 @@ class Trainer:
                     "<output-dir>/<experiment-name>/ckpts)"
                 )
             state = ckpt.restore_checkpoint(latest, state)
+            meta = ckpt.checkpoint_meta(Path(self.config.load_dir)) or {}
+            for dd, kk in (meta.get("k_by_d") or {}).items():
+                self._k_by_d[int(dd)] = int(kk)
             print(f"Resumed from {latest} at step {int(state.step)}")
         return state
 
@@ -199,7 +213,8 @@ class Trainer:
                              capacity):
         from qed_splatter_tpu.parallel.dp import make_sharded_train_step
 
-        key = (width, height, has_depth, has_mask, capacity)
+        key = (width, height, has_depth, has_mask, capacity,
+               self.cfg.max_per_tile)
         if key not in self._sharded_fns:
             self._sharded_fns[key] = make_sharded_train_step(
                 self.cfg, self.optims, width, height, self.mesh,
@@ -291,6 +306,7 @@ class Trainer:
         if (
             cur > self.cfg.warmup_length
             and cur % self.cfg.refine_every == 0
+            and cur >= self._densify_frozen_until
         ):
             self._maybe_grow()
             key, sub = jax.random.split(key)
@@ -332,8 +348,89 @@ class Trainer:
                 dataparser_transform=self.dm.scene.transform_matrix,
                 dataparser_scale=self.dm.scene.scale_factor,
                 model_config=self.cfg,
+                k_by_d=self._k_by_d,
             )
+            # record as rollback target only if the canary says the saved
+            # params are finite (a poisoned checkpoint must never be the
+            # thing a divergence rolls back TO)
+            if self._state_finite():
+                self._good_ckpt = (cur, int(self.state.params.capacity))
         return key
+
+    # ------------------------------------------------- divergence handling
+
+    def _state_finite(self) -> bool:
+        """Cheap canary over the parameter buffers + camera deltas. Needed
+        in addition to the loss check: a fully poisoned model renders pure
+        background (every NaN row is radii-0-masked) with a perfectly
+        finite loss — the round-2 zombie run, one abstraction level up."""
+        p = self.state.params
+        s = (
+            jnp.sum(p.means) + jnp.sum(p.scales) + jnp.sum(p.quats)
+            + jnp.sum(p.opacities) + jnp.sum(self.state.camera_opt)
+        )
+        return bool(np.isfinite(np.asarray(s)))
+
+    def _handle_divergence(self, step: int) -> int:
+        """Non-finite loss seen this dispatch: post-mortem, then roll back
+        to the last finite checkpoint (densification frozen for
+        ``divergence_freeze_steps``) or halt per ``on_divergence``.
+        Returns the step to continue from."""
+        mode = self.config.on_divergence
+        print(f"DIVERGENCE at step {step}: non-finite loss "
+              f"(policy={mode}, rollbacks so far={self._rollbacks})")
+        try:
+            ckpt.save_checkpoint(
+                self.run_dir / "postmortem", self.state, step,
+                dataparser_transform=self.dm.scene.transform_matrix,
+                dataparser_scale=self.dm.scene.scale_factor,
+                model_config=self.cfg,
+                k_by_d=self._k_by_d,
+            )
+            print(f"Post-mortem state saved to {self.run_dir/'postmortem'}")
+        except Exception as e:  # post-mortem is best-effort
+            print(f"post-mortem save failed: {e}")
+        if mode == "ignore":
+            return step
+        if (
+            mode == "rollback"
+            and self._good_ckpt is not None
+            and self._rollbacks < self.config.max_rollbacks
+        ):
+            good_step, good_cap = self._good_ckpt
+            path = self.run_dir / "ckpts" / f"step-{good_step:09d}"
+            template = self._template_for_capacity(good_cap)
+            self.state = ckpt.restore_checkpoint(path, template)
+            self._rollbacks += 1
+            self._densify_frozen_until = (
+                good_step + self.config.divergence_freeze_steps
+            )
+            print(
+                f"Rolled back to finite checkpoint step {good_step} "
+                f"(capacity {good_cap}); densification frozen until "
+                f"step {self._densify_frozen_until}"
+            )
+            return good_step
+        raise TrainingDiverged(
+            f"training diverged at step {step} and could not roll back "
+            f"(mode={mode}, good_ckpt={self._good_ckpt}, "
+            f"rollbacks={self._rollbacks}/{self.config.max_rollbacks}); "
+            f"post-mortem under {self.run_dir/'postmortem'}"
+        )
+
+    def _template_for_capacity(self, cap: int) -> TrainState:
+        """A TrainState with the given capacity for checkpoint restore."""
+        if cap == int(self.state.params.capacity):
+            return self.state
+        params = init_random(
+            num_points=16, capacity=cap, sh_degree=self.cfg.sh_degree
+        )
+        return init_train_state(
+            params, self.optims,
+            num_cameras=int(self.state.camera_opt.shape[0]),
+            use_bilateral_grid=self.cfg.use_bilateral_grid,
+            bilateral_grid_shape=self.cfg.bilateral_grid_shape,
+        )
 
     def _dispatch_chunk(self) -> int:
         """Steps per dispatch: explicit, or gcd of all step cadences."""
@@ -384,35 +481,55 @@ class Trainer:
         return self._step_fns[key], ds
 
     def _k_for(self, d: int) -> int:
-        return self._k_by_d.get(d, self.config.model.max_per_tile)
+        """Per-resolution-bucket adaptive K. A bucket seen for the first
+        time is SEEDED from the coarser buckets already visited (their max)
+        rather than the config default: re-entering every bucket at K=512
+        gave the round-2 run a 153k-dropped-intersections/step truncation
+        shock at the 1/2->1/1 switch (the chunk where it diverged). Carrying
+        K forward is conservative; the shrink path below recovers the
+        throughput if the finer bucket needs less."""
+        if d not in self._k_by_d:
+            coarser = [k for dd, k in self._k_by_d.items() if dd > d]
+            self._k_by_d[d] = max([self.config.model.max_per_tile, *coarser])
+        return self._k_by_d[d]
 
-    def _k_eval(self) -> int:
-        """Eval renders always use the largest K seen so far (they render
-        at full resolution regardless of the training bucket)."""
-        return max([self.config.model.max_per_tile,
-                    *self._k_by_d.values()])
+    def _maybe_adapt_k(self, overflow, max_count, width: int, height: int,
+                       d: int) -> None:
+        """Adaptive per-tile K (both directions, per resolution bucket).
 
-    def _maybe_grow_k(self, last: Dict, ds, d: int) -> None:
-        """Adaptive per-tile K: double this resolution bucket's
-        max_per_tile when the K cap is truncating >10% of per-tile
-        intersections (tile_overflow metric). Bounded recompiles: each
-        bucket's K at most doubles log2(limit/K0) times."""
+        Grow (x2, up to the limit) when the K cap truncates >10% of
+        per-tile intersections: truncation drops whole occluded surfaces,
+        near-biases depth, and feeds a truncation->error->densify runaway
+        (the round-2 root cause). Shrink (to the next pow2 covering
+        1.25x the measured max per-tile count) when K is >2.5x oversized:
+        compositing cost is linear in K, so an oversized K from a coarse
+        bucket or an earlier densification phase wastes most of the
+        rasterizer. Each change is one bounded recompile.
+        """
         cfg = self.cfg
-        if not cfg.adaptive_max_per_tile:
+        if not cfg.adaptive_max_per_tile or overflow is None:
             return
         k_now = self._k_for(d)
-        if k_now >= cfg.max_per_tile_limit:
-            return
-        overflow = last.get("tile_overflow")
-        if overflow is None:
-            return
         ts = cfg.tile_size
-        t = (-(-ds.width // ts)) * (-(-ds.height // ts))
-        if overflow > 0.10 * t * k_now:
+        t = (-(-width // ts)) * (-(-height // ts))
+        if overflow > 0.10 * t * k_now and k_now < cfg.max_per_tile_limit:
             new_k = min(k_now * 2, cfg.max_per_tile_limit)
             print(f"Growing max_per_tile {k_now} -> {new_k} at 1/{d} res "
                   f"(tile_overflow {overflow:.0f})")
             self._k_by_d[d] = new_k
+        elif (
+            max_count is not None
+            and max_count * 2.5 < k_now
+            and k_now > min(512, cfg.max_per_tile)
+        ):
+            import math
+
+            fit = 2 ** math.ceil(math.log2(max(max_count * 1.25, 1.0)))
+            new_k = max(int(fit), min(512, cfg.max_per_tile))
+            if new_k < k_now:
+                print(f"Shrinking max_per_tile {k_now} -> {new_k} at 1/{d} "
+                      f"res (max per-tile count {max_count:.0f})")
+                self._k_by_d[d] = new_k
 
     def _use_scan(self) -> bool:
         if self.mesh is not None or self.config.steps_per_dispatch == 1:
@@ -465,12 +582,32 @@ class Trainer:
             key, sub = jax.random.split(key)
             self.state, metrics = scan_fn(self.state, perm, sub)
             step += n
-            last = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
+            # per-chunk reductions, not just the last step: a loss spike or
+            # first-NaN inside the chunk must be visible (round-2 weak #7)
+            marr = {k: np.asarray(v) for k, v in metrics.items()}
+            last = {k: float(v[-1]) for k, v in marr.items()}
             last["gaussian_count"] = int(self.state.params.num_alive())
-            self._maybe_grow_k(last, ds, d)
+            last["loss_max"] = float(np.max(marr["loss"]))
+            if "nonfinite_grads" in marr:
+                last["nonfinite_grads"] = float(np.sum(marr["nonfinite_grads"]))
+            overflow = (
+                float(np.max(marr["tile_overflow"]))
+                if "tile_overflow" in marr else None
+            )
+            tmc = (
+                float(np.max(marr["tile_max_count"]))
+                if "tile_max_count" in marr else None
+            )
+            self._maybe_adapt_k(overflow, tmc, ds.width, ds.height, d)
             self.writer.write(step, last, prefix="train")
             if self.viewer is not None:
                 self.viewer.update(self.state.params, step, metrics=last)
+            if not bool(np.isfinite(marr["loss"]).all()) or (
+                not self._state_finite()
+            ):
+                step = self._handle_divergence(step)
+                key = jax.random.split(key)[0]
+                continue
             key = self._callbacks(step, max(ds.width, ds.height), key)
         wall = time.perf_counter() - t0
         done = total - start_step
@@ -484,6 +621,7 @@ class Trainer:
             dataparser_transform=self.dm.scene.transform_matrix,
             dataparser_scale=self.dm.scene.scale_factor,
             model_config=self.cfg,
+            k_by_d=self._k_by_d,
         )
         meta = ckpt.checkpoint_meta(self.run_dir / "ckpts")
         ckpt.export_ply(self.run_dir / "splat.ply", self.state.params, meta)
@@ -495,10 +633,17 @@ class Trainer:
         key = jax.random.PRNGKey(cfgt.seed)
         start_step = int(self.state.step)
         t0 = time.perf_counter()
-        for step in range(start_step, total):
+        step = start_step
+        while step < total:
             if self.config.profile_dir and step == start_step + 10:
                 jax.profiler.start_trace(self.config.profile_dir)
             d = self._downscale_factor(step)
+            if self.cfg.max_per_tile != self._k_for(d):
+                import dataclasses as _dc
+
+                self.cfg = _dc.replace(
+                    self.cfg, max_per_tile=self._k_for(d)
+                )
             if self.mesh is not None:
                 items = self.dm.next_train_batch(
                     step, self.config.num_data_shards
@@ -522,18 +667,24 @@ class Trainer:
             key, sub = jax.random.split(key)
             self.state, metrics = step_fn(self.state, batch, sub)
             cur = step + 1
-            if self.config.profile_dir and step == start_step + 14:
+            step = cur
+            if self.config.profile_dir and cur == start_step + 15:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
 
             if cur % cfgt.log_every == 0:
-                self.writer.write(cur, metrics, prefix="train")
+                host = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                self.writer.write(cur, host, prefix="train")
                 if self.viewer is not None:
-                    self.viewer.update(
-                        self.state.params, cur,
-                        metrics={k: float(np.asarray(v))
-                                 for k, v in metrics.items()},
-                    )
+                    self.viewer.update(self.state.params, cur, metrics=host)
+                self._maybe_adapt_k(
+                    host.get("tile_overflow"), host.get("tile_max_count"),
+                    cam.width, cam.height, d,
+                )
+                if not np.isfinite(host["loss"]) or not self._state_finite():
+                    step = self._handle_divergence(cur)
+                    key = jax.random.split(key)[0]
+                    continue
 
             # refinement / eval / checkpoint cadences
             key = self._callbacks(cur, max(cam.width, cam.height), key)
@@ -550,6 +701,7 @@ class Trainer:
             dataparser_transform=self.dm.scene.transform_matrix,
             dataparser_scale=self.dm.scene.scale_factor,
             model_config=self.cfg,
+            k_by_d=self._k_by_d,
         )
         meta = ckpt.checkpoint_meta(self.run_dir / "ckpts")
         ckpt.export_ply(self.run_dir / "splat.ply", self.state.params, meta)
@@ -563,7 +715,7 @@ class Trainer:
         # (the current training bucket may be coarser)
         import dataclasses as _dc
 
-        eval_cfg = _dc.replace(self.cfg, max_per_tile=self._k_eval())
+        eval_cfg = _dc.replace(self.cfg, max_per_tile=self._k_for(d))
         key = ("eval_render", cam.width, cam.height,
                self.state.params.capacity, eval_cfg.max_per_tile)
         if key not in self._step_fns:
@@ -651,10 +803,13 @@ class Trainer:
                     rgb_metrics=self.rgb_metrics,
                 )
             )
-        agg = {
-            k: float(np.nanmean([m[k] for m in all_metrics]))
-            for k in all_metrics[0]
-        }
+        agg = {}
+        for k in all_metrics[0]:
+            vals = np.asarray([m[k] for m in all_metrics], np.float64)
+            finite = vals[np.isfinite(vals)]
+            # explicit empty-guard: nanmean on an all-NaN column (e.g.
+            # lpips without weights) warns "Mean of empty slice"
+            agg[k] = float(finite.mean()) if finite.size else float("nan")
         agg["gaussian_count"] = int(self.state.params.num_alive())
         self.writer.write(step, agg, prefix="eval_all", force_console=True)
         return agg

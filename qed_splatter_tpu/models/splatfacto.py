@@ -51,6 +51,9 @@ class RenderOutputs(NamedTuple):
     # gaussians whose tile bbox exceeded the pair-expansion budget
     # (TileBinning.num_truncated)
     bbox_truncated: Optional[jnp.ndarray] = None  # scalar int32
+    # max uncapped per-tile intersection count — drives adaptive-K shrink
+    # (a K far above this wastes compositing work)
+    tile_max_count: Optional[jnp.ndarray] = None  # scalar int32
 
 
 def active_sh_degree(step: jnp.ndarray, sh_degree: int,
@@ -125,7 +128,12 @@ def render(
         coeffs = jnp.concatenate(
             [params.features_dc[:, None, :], params.features_rest], axis=1
         )  # model.py:241
-        rgb_g = eval_sh_colors(coeffs, params.means, campos, deg, cfg.sh_degree)
+        # NaN containment (matches ops.projection): a non-finite mean must
+        # not leak through the view-direction basis into features_rest
+        # gradients (0-cotangent x NaN basis = NaN).
+        mean_ok = jnp.all(jnp.isfinite(params.means), axis=-1, keepdims=True)
+        sh_means = jnp.where(mean_ok, params.means, 0.0)
+        rgb_g = eval_sh_colors(coeffs, sh_means, campos, deg, cfg.sh_degree)
     else:
         rgb_g = jax.nn.sigmoid(params.features_dc)          # model.py:263-264
 
@@ -221,6 +229,7 @@ def render(
             binning.tile_counts - cfg.max_per_tile, 0
         ))),
         bbox_truncated=binning.num_truncated,
+        tile_max_count=jax.lax.stop_gradient(jnp.max(binning.tile_counts)),
     )
 
 

@@ -50,6 +50,53 @@ def backproject_depth(
 
 
 @jax.jit
+def colorize_points(
+    positions: jnp.ndarray,  # [N, 3] world
+    images: jnp.ndarray,     # [B, H, W, 3] float in [0, 1]
+    depths: jnp.ndarray,     # [B, H, W] metric depth (0/neg = invalid)
+    w2c: jnp.ndarray,        # [B, 4, 4] OpenCV world-to-camera
+    Ks: jnp.ndarray,         # [B, 3, 3]
+    depth_max: jnp.ndarray,  # scalar
+    abs_tol: jnp.ndarray,    # scalar: depth consistency |measured - z| gate
+    rel_tol: jnp.ndarray,    # scalar: relative part, tol = max(abs, rel*z)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Project a pointcloud into a batch of RGB-D frames and accumulate
+    depth-consistent color samples — the whole frame batch in one fused
+    device program (replaces a per-frame host loop; reference semantics:
+    create_init_pointcloud.py:340-389, tol = max(abs_tol, rel_tol * z)).
+
+    Returns (color_sum [N, 3] float32, count [N] float32); callers divide
+    to get mean colors and chunk the frame dim to bound memory.
+    """
+    _, h, w, _ = images.shape
+
+    def one_frame(img, depth, w2c_f, K):
+        p_cam = positions @ w2c_f[:3, :3].T + w2c_f[:3, 3]
+        z = p_cam[:, 2]
+        zok = jnp.isfinite(z) & (z > 1e-6) & (z <= depth_max)
+        z_safe = jnp.where(zok, z, 1.0)
+        u = K[0, 0] * (p_cam[:, 0] / z_safe) + K[0, 2]
+        v = K[1, 1] * (p_cam[:, 1] / z_safe) + K[1, 2]
+        inside = (
+            jnp.isfinite(u) & jnp.isfinite(v)
+            & (u >= -0.5) & (u < w - 0.5) & (v >= -0.5) & (v < h - 0.5)
+        )
+        ui = jnp.clip(jnp.rint(u).astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(jnp.rint(v).astype(jnp.int32), 0, h - 1)
+        measured = depth[vi, ui]
+        tol = jnp.maximum(abs_tol, rel_tol * z_safe)
+        ok = (
+            zok & inside & (measured > 0.0)
+            & (jnp.abs(measured - z_safe) <= tol)
+        )
+        col = img[vi, ui]                                  # [N, 3]
+        return jnp.where(ok[:, None], col, 0.0), ok.astype(jnp.float32)
+
+    sums, counts = jax.vmap(one_frame)(images, depths, w2c, Ks)
+    return jnp.sum(sums, axis=0), jnp.sum(counts, axis=0)
+
+
+@jax.jit
 def project_points(
     positions: jnp.ndarray,  # [N, 3] world
     w2c: jnp.ndarray,        # [4, 4] OpenCV world-to-camera

@@ -95,6 +95,22 @@ def project_gaussians(
     """
     f32 = jnp.float32
     means = means.astype(f32)
+    quats = quats.astype(f32)
+    scales = scales.astype(f32)
+    # Containment: a gaussian whose parameters went non-finite (however it
+    # happened) must neither render nor emit gradients. Without this, a NaN
+    # mean flows NaN into the camera-pose gradient sum and every eval
+    # render, even though the row itself is radii-0-masked.
+    row_ok = (
+        jnp.all(jnp.isfinite(means), axis=-1)
+        & jnp.all(jnp.isfinite(quats), axis=-1)
+        & jnp.all(jnp.isfinite(scales), axis=-1)
+    )                                            # [N]
+    means = jnp.where(row_ok[:, None], means, 0.0)
+    quats = jnp.where(
+        row_ok[:, None], quats, jnp.asarray([1.0, 0.0, 0.0, 0.0], f32)
+    )
+    scales = jnp.where(row_ok[:, None], scales, 1.0)
     R = viewmats[:, :3, :3].astype(f32)          # [C, 3, 3]
     t = viewmats[:, :3, 3].astype(f32)           # [C, 3]
     fx = Ks[:, 0, 0].astype(f32)[:, None]        # [C, 1]
@@ -176,15 +192,31 @@ def project_gaussians(
     c_blur = c + eps2d
     det_blur = a_blur * c_blur - b * b
 
+    # A PSD cov2d guarantees det_blur >= eps2d*(a+c) + eps2d^2 >= 0.09 in
+    # exact arithmetic, so any tiny/negative computed det_blur is pure f32
+    # cancellation from a numerically degenerate (needle) splat. Guard with
+    # ``where`` — NOT ``maximum(det, 1e-30)``: the maximum-clamp's backward
+    # partial d(1/det)/d(det) = -1/det^2 overflows f32 to inf for
+    # det < ~5e-20, and 0-cotangent x inf = NaN. One such invisible splat
+    # poisons the summed camera-opt gradient and from there every gaussian
+    # (the round-2 30k-run collapse: means/scales/quats/camera all-NaN with
+    # opacities/features_dc clean — exactly this gradient path).
+    det_ok = det_blur > 1e-6
+    det_safe = jnp.where(det_ok, det_blur, 1.0)
+    inv_det = 1.0 / det_safe
+
     if antialiased:
-        compensations = jnp.sqrt(
-            jnp.maximum(det_orig, 0.0) / jnp.maximum(det_blur, 1e-30)
+        # same where-guard discipline for sqrt(det_orig/det_blur): sqrt has
+        # an inf backward partial at 0 (reference semantics: compensation 0
+        # for degenerate splats, gsplat fully_fused_projection).
+        comp_ok = det_ok & (det_orig > 0)
+        ratio = jnp.where(comp_ok, det_orig, 1.0) * inv_det
+        compensations = jnp.where(
+            comp_ok, jnp.sqrt(jnp.maximum(ratio, 1e-24)), 0.0
         )
     else:
         compensations = jnp.ones_like(det_blur)
 
-    det_safe = jnp.maximum(det_blur, 1e-30)
-    inv_det = 1.0 / det_safe
     conics = jnp.stack([c_blur * inv_det, -b * inv_det, a_blur * inv_det], axis=-1)
 
     # Conservative extent: 3 sigma of the dominant eigenvalue of blurred cov2d.
@@ -198,7 +230,10 @@ def project_gaussians(
         & (means2d[..., 1] + radius_f > 0)
         & (means2d[..., 1] - radius_f < height)
     )
-    valid = in_depth & (det_blur > 0) & inside & (radius_f > radius_clip)
+    valid = (
+        in_depth & det_ok & inside & (radius_f > radius_clip)
+        & row_ok[None, :]
+    )
 
     radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
     return ProjectionResult(

@@ -149,7 +149,8 @@ def make_sharded_train_step(
                     loss = loss + reg
                 mse = jnp.mean((out.rgb - rgb) ** 2)
                 return loss, (losses, out.radii, out.tile_lists, mse,
-                              out.tile_overflow)
+                              out.tile_overflow,
+                              out.tile_max_count)
 
             in_axes = (0, 0, 0, 0,
                        0 if has_depth else None,
@@ -211,7 +212,8 @@ def make_sharded_train_step(
                         loss = loss + reg
                     mse = jnp.mean((out.rgb - rgb) ** 2)
                     return loss, (losses, out.radii, out.tile_lists, mse,
-                              out.tile_overflow)
+                              out.tile_overflow,
+                              out.tile_max_count)
 
                 in_axes = (0, 0, 0, 0, 0,
                            0 if has_depth else None,
@@ -242,7 +244,7 @@ def make_sharded_train_step(
             gdict_local, state.params.alive, state.camera_opt, side, bgrids,
             has_aux=True,
         )
-        losses, radii_b, tile_lists_b, mse_b, overflow_b = aux
+        losses, radii_b, tile_lists_b, mse_b, overflow_b, tmc_b = aux
         g_gdict, _, g_cam, g_side, g_bgrid = vjp_fn(jnp.float32(1.0))
 
         # cross-'data' gradient sums. The all_gather transpose already
@@ -257,6 +259,41 @@ def make_sharded_train_step(
         if cfg.use_bilateral_grid and g_bgrid is not None:
             g_bgrid = lax.psum(g_bgrid, "data")
         loss = lax.psum(loss_local, "data")
+
+        # gradient hygiene (mirrors engine.train_step): count + zero
+        # non-finite elements before they reach Adam; count is psum'd over
+        # 'model' (each peer holds distinct capacity rows) and NOT over
+        # 'data' (grads are already data-summed, every peer sees the same
+        # values).
+        nonfinite = jnp.zeros((), jnp.float32)
+        if cfg.sanitize_grads:
+            def _count(g):
+                return jnp.sum((~jnp.isfinite(g)).astype(jnp.float32))
+
+            def _clean(g):
+                return jnp.where(jnp.isfinite(g), g, 0.0)
+
+            nonfinite = lax.psum(
+                jax.tree.reduce(lambda a, l: a + _count(l), g_gdict, 0.0),
+                "model",
+            ) + _count(g_cam)
+            g_gdict = jax.tree.map(_clean, g_gdict)
+            g_cam = _clean(g_cam)
+            if g_bgrid is not None:
+                nonfinite = nonfinite + _count(g_bgrid)
+                g_bgrid = jax.tree.map(_clean, g_bgrid)
+        if cfg.grad_clip_norm > 0.0:
+            def _clip_sharded(g):
+                sq = lax.psum(jnp.sum(g * g), "model")
+                n = jnp.sqrt(sq + 1e-20)
+                return g * jnp.minimum(1.0, cfg.grad_clip_norm / n)
+
+            def _clip_rep(g):
+                n = jnp.sqrt(jnp.sum(g * g) + 1e-20)
+                return g * jnp.minimum(1.0, cfg.grad_clip_norm / n)
+
+            g_gdict = jax.tree.map(_clip_sharded, g_gdict)
+            g_cam = _clip_rep(g_cam)
 
         # densify statistics on the local stat rows
         if need_absgrad:
@@ -322,9 +359,12 @@ def make_sharded_train_step(
             for kk, v in losses.items()
         }
         metrics["loss"] = loss
+        if cfg.sanitize_grads:
+            metrics["nonfinite_grads"] = nonfinite
         metrics["tile_overflow"] = (
             lax.psum(jnp.sum(overflow_b), "data") / b_total
         )
+        metrics["tile_max_count"] = lax.pmax(jnp.max(tmc_b), "data")
         metrics["gaussian_count"] = lax.psum(
             params.num_alive(), "model"
         )

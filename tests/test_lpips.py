@@ -116,3 +116,29 @@ def test_from_npz_roundtrip(tmp_path):
     direct = float(LPIPS(convs, biases, heads)(img0, img1))
     loaded = float(m(img0, img1))
     assert loaded == pytest.approx(direct, rel=1e-6)
+
+
+@pytest.mark.skipif(
+    "QED_LPIPS_WEIGHTS" not in __import__("os").environ,
+    reason="set QED_LPIPS_WEIGHTS to a tools/convert_lpips_weights.py npz "
+           "to validate against real pretrained activations (no pretrained "
+           "checkpoint exists in the zero-egress build environment)",
+)
+def test_lpips_real_pretrained_weights():
+    """CI-style gate (VERDICT r2 #7): with a user-supplied pretrained-weight
+    npz, LPIPS must behave like the reference metric — ~0 on identical
+    images and monotone in perturbation strength."""
+    import os
+
+    m = LPIPS.from_npz(os.environ["QED_LPIPS_WEIGHTS"])
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (128, 160, 3)).astype(np.float32)
+    small = np.clip(img + rng.normal(0, 0.02, img.shape), 0, 1).astype(
+        np.float32)
+    big = np.clip(img + rng.normal(0, 0.25, img.shape), 0, 1).astype(
+        np.float32)
+    ident = float(m(img, img))
+    d_small = float(m(img, small))
+    d_big = float(m(img, big))
+    assert abs(ident) < 1e-5
+    assert 0 < d_small < d_big

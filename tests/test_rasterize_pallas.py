@@ -328,6 +328,7 @@ def test_mixed_precision_close_to_f32():
         assert np.abs(a - b).max() / scale < 5e-2
 
 
+@pytest.mark.slow
 def test_k_chunked_composite_parity(monkeypatch):
     """K-axis chunking of the compositing kernel is exact (over-compositing
     factorizes across a front-to-back split): forward and gradients match

@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from qed_splatter_tpu.configs import ModelConfig, default_optimizers
 from qed_splatter_tpu.engine.optim import GroupOptimizers
 from qed_splatter_tpu.engine.train_step import init_train_state, make_train_step

@@ -46,6 +46,7 @@ def _tiny_config(dataset, tmp_path, **kw) -> TrainerConfig:
     )
 
 
+@pytest.mark.slow
 def test_trainer_short_run(dataset, tmp_path):
     cfg = _tiny_config(dataset, tmp_path)
     trainer = Trainer(cfg)
@@ -264,6 +265,7 @@ def test_scan_program_payload_excludes_dataset(dataset, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_adaptive_max_per_tile_grows(dataset, tmp_path):
     """With adaptive_max_per_tile, heavy K-cap truncation (tile_overflow)
     doubles max_per_tile during training, bounded by max_per_tile_limit."""
