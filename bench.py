@@ -1,12 +1,22 @@
 """Benchmark: full training-step throughput on the available accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 Measures the complete per-iteration "solve" (project -> SH -> bin ->
 rasterize (Pallas on TPU) -> photometric+depth loss -> analytic adjoint ->
-per-group Adam + absgrad stats) on a flagship-ish scene: 131k-capacity
-gaussians (80k alive), one 1296x840 camera per step, RGB+D render — the
-workload shape of BASELINE.json config #2 (nerfstudio-scene class).
+per-group Adam + absgrad stats) at TWO workload points:
+
+- canonical (the headline): 131k-capacity / 80k alive gaussians, one
+  1296x840 camera per step, K=256 (lossless here: the scene peaks well
+  under 256 per tile) — the workload shape of BASELINE.json config #2
+  (nerfstudio-scene class).
+- dense (reported in "extra"): 288k alive / 320k capacity, K=1024 —
+  the adaptive-K regime an evolved full-budget room run actually reaches
+  (round-2 verdict: the headline config alone under-represented the
+  workload that matters).
+
+Also reported in "extra": the canonical config with mixed_precision
+(bf16 MXU operands in the compositing kernels).
 
 Timing methodology: N steps inside ONE jitted lax.fori_loop (state threaded
 through), wall time of the single dispatch / N. Host-side per-call timing
@@ -17,10 +27,6 @@ vs_baseline: the reference stack (splatfacto + gsplat CUDA) trains
 nerfstudio scenes at roughly 30 train iters/s on an A100-class GPU at this
 resolution (gsplat paper scale, BASELINE.md context row). vs_baseline =
 measured_iters_per_s / 30.0.
-
-Canonical bench config: ``max_per_tile=256`` (NOT the ModelConfig default
-512) — the bench scene's 80k gaussians peak well under 256 per tile, so
-256 is lossless here; the headline number is for this pinned config.
 """
 
 import json
@@ -29,7 +35,9 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def measure(width, height, capacity, n_alive, k_cap, mixed_precision,
+            n_timed=20, seed=0):
+    """Iters/s for one workload point; fresh state per call."""
     import jax
     import jax.numpy as jnp
 
@@ -42,10 +50,7 @@ def main() -> None:
     from qed_splatter_tpu.models.gaussians import init_from_points
     from qed_splatter_tpu.testing import orbit_c2w_opengl
 
-    width, height = 1296, 840
-    capacity, n_alive = 131_072, 80_000
-
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     pts = rng.uniform(-1.2, 1.2, (n_alive, 3)).astype(np.float32)
     pts[:, 2] = pts[:, 2] * 0.7 + 3.0
     rgb = (rng.uniform(0, 1, (n_alive, 3)) * 255).astype(np.uint8)
@@ -53,8 +58,9 @@ def main() -> None:
 
     cfg = ModelConfig(
         camera_opt_mode="SO3xR3",
-        max_per_tile=256,
+        max_per_tile=k_cap,
         background_color="random",
+        mixed_precision=mixed_precision,
     )
     optims = GroupOptimizers(default_optimizers())
     state = init_train_state(params, optims, num_cameras=4)
@@ -77,8 +83,6 @@ def main() -> None:
         c2w=c2w, K=K, cam_idx=jnp.asarray(0, jnp.int32),
         rgb=gt_rgb, depth=gt_depth,
     )
-
-    n_timed = 20
 
     # batch is an explicit jit arg: closed-over arrays inline as literal
     # constants in the program (17 MB of GT images here)
@@ -105,20 +109,36 @@ def main() -> None:
     # loss sanity from one eager step
     _, metrics = step_jitted(state, batch, key)
     loss = float(jax.device_get(metrics["loss"]))
+    return n_timed / dt, bool(np.isfinite(loss))
 
-    iters_per_s = n_timed / dt
-    mpix_per_s = iters_per_s * width * height / 1e6
+
+def main() -> None:
+    import jax
+
+    width, height = 1296, 840
+
+    iters, finite = measure(width, height, 131_072, 80_000, 256, False)
+    dense_iters, dense_finite = measure(
+        width, height, 327_680, 288_000, 1024, False, n_timed=10
+    )
+    mp_iters, _ = measure(width, height, 131_072, 80_000, 256, True)
+
+    mpix = iters * width * height / 1e6
     print(
         json.dumps(
             {
                 "metric": "train_iters_per_s_1296x840_80k_gaussians",
-                "value": round(iters_per_s, 3),
+                "value": round(iters, 3),
                 "unit": "iters/s",
-                "vs_baseline": round(iters_per_s / 30.0, 3),
+                "vs_baseline": round(iters / 30.0, 3),
                 "extra": {
-                    "rasterized_mpix_per_s": round(mpix_per_s, 2),
+                    "rasterized_mpix_per_s": round(mpix, 2),
                     "device": str(jax.devices()[0]),
-                    "loss_finite": bool(np.isfinite(loss)),
+                    "loss_finite": finite and dense_finite,
+                    "dense_288k_alive_k1024_iters_per_s": round(
+                        dense_iters, 3
+                    ),
+                    "mixed_precision_iters_per_s": round(mp_iters, 3),
                 },
             }
         )

@@ -54,10 +54,16 @@ def device_time_per_call(
         def body(i, carry):
             args, token = carry
             out = op(*perturb(args, i, token))
-            first = jax.tree.leaves(out)[0]
-            # zero-valued token that still depends on the output
-            new_token = (first.ravel()[0] * 0).astype(jnp.float32)
-            return (args, new_token)
+            # zero-valued token depending on EVERY output leaf: anchoring
+            # only the first leaf lets XLA dead-code-eliminate the compute
+            # behind the other outputs (e.g. a projection op's covariance
+            # branch when only means2d is read), silently under-reporting
+            new_token = sum(
+                jnp.asarray(leaf.ravel()[0], jnp.float32) * 0
+                for leaf in jax.tree.leaves(out)
+                if hasattr(leaf, "ravel") and leaf.size > 0
+            )
+            return (args, jnp.asarray(new_token, jnp.float32))
 
         return jax.lax.fori_loop(
             0, n, body, (args, jnp.float32(0.0))

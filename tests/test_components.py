@@ -1,6 +1,7 @@
 """Bilateral grid, crop box, undistortion component tests (SURVEY D8/D11/D12)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +28,7 @@ def test_bilateral_tv_zero_for_identity():
     assert float(total_variation_loss(grids)) == 0.0
 
 
+@pytest.mark.slow
 def test_bilateral_grad_flows():
     grids = init_bilateral_grids(1)
     rgb = jnp.full((16, 16, 3), 0.5)
@@ -88,6 +90,7 @@ def test_undistort_center_fixed_point():
     assert mx[12, 31] > 31.0
 
 
+@pytest.mark.slow
 def test_train_step_with_bilateral_grid():
     from qed_splatter_tpu.configs import ModelConfig, default_optimizers
     from qed_splatter_tpu.engine.optim import GroupOptimizers
@@ -125,6 +128,7 @@ def test_train_step_with_bilateral_grid():
     assert s2.bilateral_grids.shape == before.shape
 
 
+@pytest.mark.slow
 def test_render_with_crop_box():
     from qed_splatter_tpu.configs import ModelConfig
     from qed_splatter_tpu.models.gaussians import init_from_points

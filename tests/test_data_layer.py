@@ -275,6 +275,7 @@ def test_gaussian_dataset_teacher_not_truncated(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_chunked_exact_render_matches_naive_oracle():
     """The dataset writer's chunked over-operator compositing must equal the
     brute-force full-sort oracle — i.e., zero truncation artifacts by

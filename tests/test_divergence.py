@@ -35,6 +35,7 @@ from qed_splatter_tpu.testing import write_synthetic_dataset
 # --------------------------------------------------------------- projection
 
 
+@pytest.mark.slow
 def test_degenerate_needle_splats_have_finite_grads():
     """The round-2 killer: invalid needle splats (f32-cancelled det_blur)
     must not emit NaN through the conic backward even with zero cotangents."""
@@ -120,6 +121,7 @@ def _poisoned_params(sh_degree=3):
                           features_rest=rest)
 
 
+@pytest.mark.slow
 def test_render_with_poisoned_rows_is_finite():
     """Eval-NaN-leak regression (VERDICT r2 weak #6): rendering a state
     with NaN alive rows must produce finite rgb/depth/accumulation."""

@@ -52,6 +52,7 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mesh_shape", [(1, 1), (4, 2), (2, 4), (2, 1), (1, 8)])
 def test_sharded_step_matches_single(mesh_shape):
     nd, nm = mesh_shape
@@ -103,6 +104,7 @@ def test_params_actually_sharded():
     assert mu_sh.spec[0] == "model"
 
 
+@pytest.mark.slow
 def test_multi_step_stability():
     cfg, optims, state, batch = _setup()
     mesh = make_mesh(4, 2)
@@ -116,6 +118,7 @@ def test_multi_step_stability():
     assert int(state.step) == 5
 
 
+@pytest.mark.slow
 def test_sharded_step_pallas_interpret_matches_single():
     """The sharded step running the REAL Pallas hot path (interpret mode on
     the CPU mesh: rank-space gather, seed absgrad, Pallas kernels) matches
@@ -144,6 +147,7 @@ def test_sharded_step_pallas_interpret_matches_single():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_step_bilateral_grid():
     """Bilateral grids train in the sharded step (VERDICT r1 missing #3)."""
     import dataclasses
@@ -190,6 +194,7 @@ def test_sharded_step_no_absgrad():
                                   np.asarray(state.stats.grad_norm_sum))
 
 
+@pytest.mark.slow
 def test_sharded_step_mixed_precision_runs():
     """mixed_precision=True flows through the sharded step (bf16 MXU
     operands in the interpret-mode Pallas kernels) and stays within the

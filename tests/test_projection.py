@@ -1,6 +1,7 @@
 """Projection kernel tests: geometry sanity + gradient checks (SURVEY §4)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -92,6 +93,7 @@ def test_antialiased_compensation_range():
         assert comp[tiny & valid].mean() < 0.6
 
 
+@pytest.mark.slow
 def test_projection_grads_finite():
     scene = random_scene(n=32, seed=5)
     viewmat, K = simple_camera()

@@ -1,6 +1,7 @@
 """Tile rasterizer parity vs. brute-force oracle + gradient checks (SURVEY §4)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -124,6 +125,7 @@ def test_occlusion_order():
     assert center[0] > 0.9 and center[1] < 0.1  # red in front wins
 
 
+@pytest.mark.slow
 def test_gradients_match_naive():
     res, colors, opac = _projected(n=96, seed=7)
     m2d, con, dep, rad = res.means2d[0], res.conics[0], res.depths[0], res.radii[0]

@@ -67,6 +67,7 @@ def test_forward_parity_rgbd():
     )
 
 
+@pytest.mark.slow
 def test_backward_parity():
     res, colors, opac, binning = _projected(n=96, seed=3)
     m2d, con = res.means2d[0], res.conics[0]
@@ -96,6 +97,7 @@ def test_backward_parity():
         )
 
 
+@pytest.mark.slow
 def test_backward_parity_with_tile_eps():
     """The absgrad side-channel must produce identical tile-level grads."""
     res, colors, opac, binning = _projected(n=64, seed=5)
@@ -287,6 +289,7 @@ def test_absgrad_seed_matches_tile_eps():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mixed_precision_close_to_f32():
     """bf16-operand kernels (ModelConfig.mixed_precision, reference
     config.py:32) must stay within the bf16 rounding envelope of the f32

@@ -70,6 +70,7 @@ def test_trainer_short_run(dataset, tmp_path):
     assert trainer._downscale_factor(39) == 1
 
 
+@pytest.mark.slow
 def test_checkpoint_meta_model_config(dataset, tmp_path):
     """Checkpoint metadata records the trained ModelConfig so render/view
     rebuild the exact model (ADVICE r1: sh_degree-0 checkpoints crashed
@@ -100,6 +101,7 @@ def test_checkpoint_meta_model_config(dataset, tmp_path):
     assert any(l["split"] == "eval_loss" for l in lines)
 
 
+@pytest.mark.slow
 def test_trainer_resume(dataset, tmp_path):
     cfg = _tiny_config(dataset, tmp_path)
     t1 = Trainer(cfg)
@@ -153,6 +155,7 @@ def test_cli_unknown_command():
     assert main([]) == 2
 
 
+@pytest.mark.slow
 def test_trainer_data_parallel_mesh(dataset, tmp_path):
     """Trainer drives the sharded multi-camera step over a 2x2 CPU mesh."""
     cfg = _tiny_config(dataset, tmp_path)
@@ -184,6 +187,7 @@ def test_process_sharded_views(dataset):
     assert s0 | s1 == set(dm0.scene.train_indices)
 
 
+@pytest.mark.slow
 def test_capacity_growth_pads_state(dataset, tmp_path):
     """_maybe_grow doubles capacity and pads params, Adam moments (exact
     param-template matching, not shape heuristics), and densify stats;
@@ -281,6 +285,7 @@ def test_adaptive_max_per_tile_grows(dataset, tmp_path):
     assert trainer.cfg.max_per_tile <= 256
 
 
+@pytest.mark.slow
 def test_eval_uses_checkpoint_model_config(dataset, tmp_path):
     """qed eval restores the TRAINED model config from checkpoint metadata:
     an sh_degree=0 checkpoint must evaluate without --model flags (a

@@ -59,6 +59,7 @@ def test_camera_path_parsing(tmp_path):
     assert cams[1][1][1, 1] < K0[1, 1]
 
 
+@pytest.mark.slow
 def test_render_camera_path_cli(trained, tmp_path):
     root, ckpts = trained
     # a 2-frame path orbiting the origin
@@ -130,6 +131,7 @@ def test_export_crop(trained, tmp_path):
     assert 0 < n_crop < n_full
 
 
+@pytest.mark.slow
 def test_viewer_endpoints(trained):
     root, ckpts = trained
     from qed_splatter_tpu.engine import checkpoint as ckpt
