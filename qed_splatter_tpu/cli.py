@@ -276,7 +276,9 @@ def cmd_render(argv) -> int:
     parser.add_argument("--load-dir", required=True)
     parser.add_argument("--output-dir", default="renders")
     parser.add_argument("--mode", choices=["orbit", "eval", "path"],
-                        default="orbit")
+                        default=None,
+                        help="default: 'path' when --camera-path is given, "
+                             "else 'orbit'")
     parser.add_argument("--data", default=None,
                         help="dataset (required for --mode eval)")
     parser.add_argument("--camera-path", default=None,
@@ -308,6 +310,10 @@ def cmd_render(argv) -> int:
     out_dir = Path(ns.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    if ns.mode is None:
+        # --camera-path implies path mode: silently rendering a default
+        # orbit instead of the user's authored path is a trap
+        ns.mode = "path" if ns.camera_path else "orbit"
     cams = []
     if ns.mode == "eval":
         if not ns.data:

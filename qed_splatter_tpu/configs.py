@@ -164,7 +164,7 @@ class TrainerConfig:
     experiment_name: Optional[str] = None
     load_dir: Optional[str] = None       # checkpoint resume
     seed: int = 42
-    vis: Literal["none", "tensorboard", "jsonl", "viewer"] = "jsonl"
+    vis: Literal["none", "tensorboard", "jsonl", "viewer", "wandb", "comet"] = "jsonl"
     viewer_port: int = 7007              # ViewerConfig (config.py:82)
     log_every: int = 10
     profile_dir: Optional[str] = None   # jax.profiler trace of steps 10..14

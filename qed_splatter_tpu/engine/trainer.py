@@ -113,6 +113,8 @@ class Trainer:
         self.writer = MetricsWriter(
             self.run_dir,
             use_tensorboard=(config.vis == "tensorboard"),
+            use_wandb=(config.vis == "wandb"),
+            use_comet=(config.vis == "comet"),
             console_every=config.log_every,
         )
         self.rgb_metrics = RGBMetrics()
@@ -432,6 +434,14 @@ class Trainer:
             bilateral_grid_shape=self.cfg.bilateral_grid_shape,
         )
 
+    def _viewer_gate(self) -> None:
+        """Block between dispatches while the viewer has training paused
+        (the viser trainer-controls analog)."""
+        if self.viewer is None:
+            return
+        while self.viewer.state.paused:
+            time.sleep(0.3)
+
     def _dispatch_chunk(self) -> int:
         """Steps per dispatch: explicit, or gcd of all step cadences."""
         import math
@@ -563,6 +573,7 @@ class Trainer:
         rng = np.random.default_rng(cfgt.seed)
         step = start_step
         while step < total:
+            self._viewer_gate()
             n = min(chunk, total - step)
             d = self._downscale_factor(step)
             while len(queue) < n:
@@ -635,6 +646,7 @@ class Trainer:
         t0 = time.perf_counter()
         step = start_step
         while step < total:
+            self._viewer_gate()
             if self.config.profile_dir and step == start_step + 10:
                 jax.profiler.start_trace(self.config.profile_dir)
             d = self._downscale_factor(step)

@@ -12,6 +12,12 @@ Viewer features mirroring the reference stack's controls:
 - **crop box** (reference model.py:217-239): enable + center/size inputs,
   applied through the same ``CropBox`` path as ``qed render --crop-*``
 - live training HUD: step, loss, PSNR, gaussian count (``/status``)
+- **training pause/resume** (viser's trainer controls): ``/control`` flips
+  a flag the Trainer polls between dispatches
+- **camera-path authoring** (viser's camera-path editor): keyframe the
+  current orbit pose, then ``/campath`` interpolates and returns the
+  nerfstudio camera-path JSON that ``qed render --camera-path`` (and
+  ns-render) consume
 """
 
 from __future__ import annotations
@@ -50,6 +56,15 @@ img { display:block; margin:auto; margin-top:20px; max-width:95vw; }
     <label><input type="checkbox" id="depth"/> depth</label>
   </div>
   <div class="row"><label><input type="checkbox" id="crop"/> crop box</label>
+    <button id="pause">pause</button>
+  </div>
+  <div class="row">
+    <button id="addkf">+ keyframe</button>
+    <button id="clearkf">clear</button>
+    <span id="kfn">0 kf</span>
+    <label>s <input type="number" id="secs" value="5" step="1"/></label>
+    <label>fps <input type="number" id="fps" value="24" step="1"/></label>
+    <a id="savepath" href="#" style="color:#9cf">save path</a>
   </div>
   <div class="row">c
     <input type="number" id="ccx" value="0" step="0.1"/>
@@ -108,6 +123,26 @@ function poll(){
   }).catch(()=>{});
 }
 setInterval(poll, 2000); poll();
+let paused=false;
+$('pause').onclick=()=>{
+  fetch(`/control?cmd=${paused?'resume':'pause'}`).then(r=>r.json()).then(st=>{
+    paused=st.paused; $('pause').textContent=paused?'resume':'pause';
+  });
+};
+$('addkf').onclick=()=>{
+  fetch(`/keyframe?az=${az.toFixed(4)}&el=${el.toFixed(4)}&r=${r.toFixed(3)}`)
+    .then(r=>r.json()).then(st=>{$('kfn').textContent=`${st.count} kf`;});
+};
+$('clearkf').onclick=()=>{
+  fetch('/keyframe?clear=1').then(r=>r.json())
+    .then(st=>{$('kfn').textContent=`${st.count} kf`;});
+};
+$('savepath').onclick=(e)=>{
+  e.preventDefault();
+  const u=`/campath?seconds=${$('secs').value}&fps=${$('fps').value}`;
+  const a=document.createElement('a');
+  a.href=u; a.download='camera_path.json'; a.click();
+};
 tick();
 </script></body></html>"""
 
@@ -133,6 +168,53 @@ class ViewerState:
         self.step = 0
         self.metrics: Dict[str, float] = {}
         self.training = False
+        # trainer control (viser pause/resume analog): the Trainer polls
+        # this between dispatches
+        self.paused = False
+        # camera-path authoring keyframes: (az, el, radius) orbit poses
+        self.keyframes: list = []
+
+    def camera_path_json(self, seconds: float, fps: float,
+                         width: int, height: int, fov: float) -> dict:
+        """Interpolate the authored keyframes into the nerfstudio
+        camera-path JSON format (data.camera_path.load_camera_path and
+        ns-render both consume it)."""
+        from qed_splatter_tpu.testing import orbit_c2w_opengl
+
+        with self.lock:
+            kfs = list(self.keyframes)
+        if len(kfs) < 2:
+            raise ValueError("need at least 2 keyframes")
+        n = max(int(round(seconds * fps)), 2)
+        kf = np.asarray(kfs, np.float64)              # [K, 3] az, el, r
+        # piecewise-linear in orbit space with uniform time per segment;
+        # azimuth interpolates along the shorter wrap direction
+        daz = np.diff(kf[:, 0])
+        daz = (daz + np.pi) % (2 * np.pi) - np.pi
+        kf[1:, 0] = kf[0, 0] + np.cumsum(daz)
+        t = np.linspace(0.0, len(kfs) - 1.0, n)
+        seg = np.clip(t.astype(int), 0, len(kfs) - 2)
+        frac = t - seg
+        interp = kf[seg] * (1 - frac)[:, None] + kf[seg + 1] * frac[:, None]
+        frames = []
+        for az, el, r in interp:
+            c2w = np.eye(4, dtype=np.float64)
+            c2w[:3, :4] = orbit_c2w_opengl(
+                float(r), float(az), float(el), target=self.target
+            )[:3, :4]
+            frames.append({
+                "camera_to_world": c2w.reshape(-1).tolist(),
+                "fov": fov,
+                "aspect": width / height,
+            })
+        return {
+            "camera_type": "perspective",
+            "render_width": width,
+            "render_height": height,
+            "fps": fps,
+            "seconds": seconds,
+            "camera_path": frames,
+        }
 
     def update(self, params, step: int,
                metrics: Optional[Dict[str, float]] = None) -> None:
@@ -267,6 +349,63 @@ def make_handler(state: ViewerState):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            elif url.path == "/control":
+                q = parse_qs(url.query)
+                cmd = q.get("cmd", [""])[0]
+                with state.lock:
+                    if cmd == "pause":
+                        state.paused = True
+                    elif cmd == "resume":
+                        state.paused = False
+                    body = json.dumps({"paused": state.paused}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/keyframe":
+                q = parse_qs(url.query)
+                with state.lock:
+                    if q.get("clear", ["0"])[0] == "1":
+                        state.keyframes.clear()
+                    else:
+                        state.keyframes.append((
+                            float(q.get("az", ["0"])[0]),
+                            float(q.get("el", ["0.2"])[0]),
+                            float(q.get("r", ["3.0"])[0]),
+                        ))
+                    body = json.dumps(
+                        {"count": len(state.keyframes)}
+                    ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/campath":
+                q = parse_qs(url.query)
+                try:
+                    doc = state.camera_path_json(
+                        seconds=float(q.get("seconds", ["5"])[0]),
+                        fps=float(q.get("fps", ["24"])[0]),
+                        width=int(q.get("w", ["1920"])[0]),
+                        height=int(q.get("h", ["1080"])[0]),
+                        fov=float(q.get("fov", ["50"])[0]),
+                    )
+                    body = json.dumps(doc, indent=2).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header(
+                        "Content-Disposition",
+                        'attachment; filename="camera_path.json"',
+                    )
+                except Exception as e:
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif url.path == "/status":
                 with state.lock:
                     n = None
@@ -276,6 +415,7 @@ def make_handler(state: ViewerState):
                         "step": state.step,
                         "ready": state.params is not None,
                         "training": state.training,
+                        "paused": state.paused,
                         "metrics": state.metrics,
                         "gaussian_count": n,
                     }).encode()

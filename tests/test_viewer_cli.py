@@ -162,6 +162,42 @@ def test_viewer_endpoints(trained):
         png_depth = urllib.request.urlopen(
             base + "/render?az=0&el=0.2&r=3&w=64&h=48&depth=1").read()
         assert png_depth[:4] == b"\x89PNG"
+
+        # training controls (viser pause/resume analog)
+        st = json.loads(urllib.request.urlopen(
+            base + "/control?cmd=pause").read())
+        assert st["paused"] and viewer.state.paused
+        st = json.loads(urllib.request.urlopen(base + "/status").read())
+        assert st["paused"]
+        st = json.loads(urllib.request.urlopen(
+            base + "/control?cmd=resume").read())
+        assert not st["paused"] and not viewer.state.paused
+
+        # camera-path authoring: keyframe -> interpolated nerfstudio JSON
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(base + "/campath?seconds=2&fps=4")
+        for az, el, r in ((0.0, 0.2, 3.0), (1.0, 0.3, 2.5), (2.0, 0.2, 3.0)):
+            st = json.loads(urllib.request.urlopen(
+                base + f"/keyframe?az={az}&el={el}&r={r}").read())
+        assert st["count"] == 3
+        doc = json.loads(urllib.request.urlopen(
+            base + "/campath?seconds=2&fps=6&w=320&h=240&fov=55").read())
+        assert doc["render_width"] == 320 and len(doc["camera_path"]) == 12
+        # the produced JSON round-trips through the render-CLI parser
+        import tempfile
+
+        from qed_splatter_tpu.data.camera_path import load_camera_path
+
+        with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                         delete=False) as f:
+            json.dump(doc, f)
+        cams = load_camera_path(f.name)
+        assert len(cams) == 12
+        c2w, K, w, h = cams[0]
+        assert c2w.shape == (3, 4) and (w, h) == (320, 240)
+        st = json.loads(urllib.request.urlopen(
+            base + "/keyframe?clear=1").read())
+        assert st["count"] == 0
     finally:
         viewer.stop()
 
