@@ -184,8 +184,26 @@ class Trainer:
                     "checkpoints live under "
                     "<output-dir>/<experiment-name>/ckpts)"
                 )
-            state = ckpt.restore_checkpoint(latest, state)
             meta = ckpt.checkpoint_meta(Path(self.config.load_dir)) or {}
+            # the checkpoint may have grown capacity past the fresh-init
+            # template (densification doubles it); restore needs matching
+            # shapes
+            cap = int(meta.get("capacity", state.params.capacity))
+            if cap != int(state.params.capacity):
+                if cap > int(state.params.capacity):
+                    params = grow_capacity(state.params, cap)
+                else:
+                    params = init_random(
+                        num_points=16, capacity=cap,
+                        sh_degree=self.cfg.sh_degree,
+                    )
+                state = init_train_state(
+                    params, self.optims,
+                    num_cameras=int(state.camera_opt.shape[0]),
+                    use_bilateral_grid=self.cfg.use_bilateral_grid,
+                    bilateral_grid_shape=self.cfg.bilateral_grid_shape,
+                )
+            state = ckpt.restore_checkpoint(latest, state)
             for dd, kk in (meta.get("k_by_d") or {}).items():
                 self._k_by_d[int(dd)] = int(kk)
             print(f"Resumed from {latest} at step {int(state.step)}")

@@ -128,24 +128,88 @@ def _alphas(means_ref, conics_ref, opac_ref, tile_idx, num_tiles_x,
     return alpha, a_raw, mask, dx, dy
 
 
+# Early-termination threshold: a tile whose every pixel's remaining
+# transmittance is below this contributes < EARLY_STOP_EPS to any channel —
+# the gsplat rasterizer stops compositing at the same per-pixel threshold
+# (and replays only processed splats in backward), so skipping such chunks
+# preserves reference semantics.
+EARLY_STOP_EPS = 1e-4
+
+
+def _fwd_tile_body(means_ref, conics_ref, colors_ref, opac_ref,
+                   out_ref, acc_ref, t, j, num_tiles_x, tile_size, p,
+                   op_dtype):
+    alpha, _, _, _, _ = _alphas(
+        means_ref, conics_ref, opac_ref, t, num_tiles_x, tile_size, p, j
+    )
+    t_excl = _excl_cumprod(1.0 - alpha, op_dtype)
+    w = alpha * t_excl                     # [P, K]
+    # out[D, P] = colors[D, K] . w[P, K]^T  (contract K)
+    out_ref[j] = jax.lax.dot_general(
+        colors_ref[j].astype(op_dtype), w.astype(op_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[j] = jnp.sum(w, axis=-1)[None, :]
+
+
 def _fwd_kernel(means_ref, conics_ref, colors_ref, opac_ref,
                 out_ref, acc_ref, *, num_tiles_x, tile_size, p, tb,
                 op_dtype=jnp.float32):
     base = pl.program_id(0) * tb
     for j in range(tb):  # static unroll: tb tiles per grid instance
-        t = base + j
-        alpha, _, _, _, _ = _alphas(
-            means_ref, conics_ref, opac_ref, t, num_tiles_x, tile_size, p, j
-        )
-        t_excl = _excl_cumprod(1.0 - alpha, op_dtype)
-        w = alpha * t_excl                     # [P, K]
-        # out[D, P] = colors[D, K] . w[P, K]^T  (contract K)
-        out_ref[j] = jax.lax.dot_general(
-            colors_ref[j].astype(op_dtype), w.astype(op_dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[j] = jnp.sum(w, axis=-1)[None, :]
+        _fwd_tile_body(means_ref, conics_ref, colors_ref, opac_ref,
+                       out_ref, acc_ref, base + j, j,
+                       num_tiles_x, tile_size, p, op_dtype)
+
+
+def _fwd_kernel_skip(means_ref, conics_ref, colors_ref, opac_ref, accp_ref,
+                     out_ref, acc_ref, *, num_tiles_x, tile_size, p, tb,
+                     op_dtype=jnp.float32):
+    """Forward with per-tile early termination: ``accp_ref`` is the alpha
+    already accumulated by earlier depth chunks; a fully saturated tile
+    skips its matmuls entirely (the chunk's contribution is < eps)."""
+    base = pl.program_id(0) * tb
+    for j in range(tb):
+        live = jnp.max(1.0 - accp_ref[j, 0, :]) >= EARLY_STOP_EPS
+
+        @pl.when(live)
+        def _():
+            _fwd_tile_body(means_ref, conics_ref, colors_ref, opac_ref,
+                           out_ref, acc_ref, base + j, j,
+                           num_tiles_x, tile_size, p, op_dtype)
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            out_ref[j] = jnp.zeros(out_ref.shape[1:], jnp.float32)
+            acc_ref[j] = jnp.zeros(acc_ref.shape[1:], jnp.float32)
+
+
+def _bwd_kernel_skip(means_ref, conics_ref, colors_ref, opac_ref, accp_ref,
+                     gout_ref, gacc_ref,
+                     dmeans_ref, dconics_ref, dcolors_ref, dopac_ref,
+                     *, num_tiles_x, tile_size, p, tb,
+                     op_dtype=jnp.float32):
+    """Backward with the forward's early-termination predicate: a chunk the
+    forward skipped contributed (exact) zeros, so its gradients are zero —
+    the same splats gsplat's backward replay never touches."""
+    base = pl.program_id(0) * tb
+    for j in range(tb):
+        live = jnp.max(1.0 - accp_ref[j, 0, :]) >= EARLY_STOP_EPS
+
+        @pl.when(live)
+        def _():
+            _bwd_tile_body(means_ref, conics_ref, colors_ref, opac_ref,
+                           gout_ref, gacc_ref, dmeans_ref, dconics_ref,
+                           dcolors_ref, dopac_ref, base + j, j,
+                           num_tiles_x, tile_size, p, op_dtype)
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            dmeans_ref[j] = jnp.zeros(dmeans_ref.shape[1:], jnp.float32)
+            dconics_ref[j] = jnp.zeros(dconics_ref.shape[1:], jnp.float32)
+            dcolors_ref[j] = jnp.zeros(dcolors_ref.shape[1:], jnp.float32)
+            dopac_ref[j] = jnp.zeros(dopac_ref.shape[1:], jnp.float32)
 
 
 def _bwd_kernel(means_ref, conics_ref, colors_ref, opac_ref,
@@ -154,51 +218,60 @@ def _bwd_kernel(means_ref, conics_ref, colors_ref, opac_ref,
                 *, num_tiles_x, tile_size, p, tb, op_dtype=jnp.float32):
     base = pl.program_id(0) * tb
     for j in range(tb):  # static unroll: tb tiles per grid instance
-        t = base + j
-        alpha, a_raw, mask, dx, dy = _alphas(
-            means_ref, conics_ref, opac_ref, t, num_tiles_x, tile_size, p, j
-        )
-        t_excl = _excl_cumprod(1.0 - alpha, op_dtype)
-        w = alpha * t_excl                     # [P, K]
-        gout = gout_ref[j]                     # [D, P]
-        gacc = gacc_ref[j, 0, :]               # [P]
+        _bwd_tile_body(means_ref, conics_ref, colors_ref, opac_ref,
+                       gout_ref, gacc_ref, dmeans_ref, dconics_ref,
+                       dcolors_ref, dopac_ref, base + j, j,
+                       num_tiles_x, tile_size, p, op_dtype)
 
-        # dL/dw[P, K] = gout[D, P] . colors[D, K] (contract D) + gacc
-        dw = jax.lax.dot_general(
-            gout.astype(op_dtype), colors_ref[j].astype(op_dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + gacc[:, None]
-        # dL/dcolors[D, K] = gout[D, P] . w[P, K]
-        dcolors_ref[j] = jnp.dot(
-            gout.astype(op_dtype), w.astype(op_dtype),
-            preferred_element_type=jnp.float32
-        )
 
-        # transmittance chain: dL/da_k = T_k dw_k - R_k / (1 - a_k)
-        # with R_k = sum_{j>k} w_j dw_j
-        wdw = w * dw
-        R = _excl_suffix_sum(wdw, op_dtype)
-        dalpha = t_excl * dw - R / (1.0 - alpha)
-        # clamp + mask: gradient only where alpha = a_raw (not clamped)
-        live = mask & (a_raw <= ALPHA_MAX)
-        da_raw = jnp.where(live, dalpha, 0.0)
+def _bwd_tile_body(means_ref, conics_ref, colors_ref, opac_ref,
+               gout_ref, gacc_ref,
+               dmeans_ref, dconics_ref, dcolors_ref, dopac_ref,
+               t, j, num_tiles_x, tile_size, p, op_dtype):
+    alpha, a_raw, mask, dx, dy = _alphas(
+        means_ref, conics_ref, opac_ref, t, num_tiles_x, tile_size, p, j
+    )
+    t_excl = _excl_cumprod(1.0 - alpha, op_dtype)
+    w = alpha * t_excl                     # [P, K]
+    gout = gout_ref[j]                     # [D, P]
+    gacc = gacc_ref[j, 0, :]               # [P]
 
-        dsigma = -a_raw * da_raw               # [P, K]
-        op = opac_ref[j, 0, :][None, :]
-        exp_term = jnp.where(op > 0, a_raw / jnp.maximum(op, 1e-12), 0.0)
-        dopac_ref[j] = jnp.sum(exp_term * da_raw, axis=0)[None, :]
+    # dL/dw[P, K] = gout[D, P] . colors[D, K] (contract D) + gacc
+    dw = jax.lax.dot_general(
+        gout.astype(op_dtype), colors_ref[j].astype(op_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + gacc[:, None]
+    # dL/dcolors[D, K] = gout[D, P] . w[P, K]
+    dcolors_ref[j] = jnp.dot(
+        gout.astype(op_dtype), w.astype(op_dtype),
+        preferred_element_type=jnp.float32
+    )
 
-        ca = conics_ref[j, 0, :][None, :]
-        cb = conics_ref[j, 1, :][None, :]
-        cc = conics_ref[j, 2, :][None, :]
-        dmx = jnp.sum(dsigma * (ca * dx + cb * dy), axis=0)   # [K]
-        dmy = jnp.sum(dsigma * (cc * dy + cb * dx), axis=0)
-        dmeans_ref[j] = jnp.stack([dmx, dmy], axis=0)         # [2, K]
-        dA = jnp.sum(0.5 * dx * dx * dsigma, axis=0)
-        dB = jnp.sum(dx * dy * dsigma, axis=0)
-        dC = jnp.sum(0.5 * dy * dy * dsigma, axis=0)
-        dconics_ref[j] = jnp.stack([dA, dB, dC], axis=0)      # [3, K]
+    # transmittance chain: dL/da_k = T_k dw_k - R_k / (1 - a_k)
+    # with R_k = sum_{j>k} w_j dw_j
+    wdw = w * dw
+    R = _excl_suffix_sum(wdw, op_dtype)
+    dalpha = t_excl * dw - R / (1.0 - alpha)
+    # clamp + mask: gradient only where alpha = a_raw (not clamped)
+    live = mask & (a_raw <= ALPHA_MAX)
+    da_raw = jnp.where(live, dalpha, 0.0)
+
+    dsigma = -a_raw * da_raw               # [P, K]
+    op = opac_ref[j, 0, :][None, :]
+    exp_term = jnp.where(op > 0, a_raw / jnp.maximum(op, 1e-12), 0.0)
+    dopac_ref[j] = jnp.sum(exp_term * da_raw, axis=0)[None, :]
+
+    ca = conics_ref[j, 0, :][None, :]
+    cb = conics_ref[j, 1, :][None, :]
+    cc = conics_ref[j, 2, :][None, :]
+    dmx = jnp.sum(dsigma * (ca * dx + cb * dy), axis=0)   # [K]
+    dmy = jnp.sum(dsigma * (cc * dy + cb * dx), axis=0)
+    dmeans_ref[j] = jnp.stack([dmx, dmy], axis=0)         # [2, K]
+    dA = jnp.sum(0.5 * dx * dx * dsigma, axis=0)
+    dB = jnp.sum(dx * dy * dsigma, axis=0)
+    dC = jnp.sum(0.5 * dy * dy * dsigma, axis=0)
+    dconics_ref[j] = jnp.stack([dA, dB, dC], axis=0)      # [3, K]
 
 
 def _block(c, k, tb=1):
@@ -354,6 +427,130 @@ def _composite_bwd(num_tiles_x, tile_size, interpret, mixed_precision, res,
 composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def composite_tiles_pallas_skip(
+    g_means: jnp.ndarray,    # [T, 2, K]
+    g_conics: jnp.ndarray,   # [T, 3, K]
+    g_colors: jnp.ndarray,   # [T, D, K]
+    g_opac: jnp.ndarray,     # [T, 1, K]
+    acc_prev: jnp.ndarray,   # [T, 1, P] alpha accumulated by earlier chunks
+    num_tiles_x: int,
+    tile_size: int = 16,
+    interpret: Optional[bool] = None,
+    mixed_precision: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``composite_tiles_pallas`` with per-tile early termination.
+
+    Used for the 2nd+ depth chunks of ``composite_tiles_chunked``: a tile
+    whose pixels are all saturated (remaining transmittance <
+    EARLY_STOP_EPS) skips both the forward matmuls and — via the same
+    predicate — the backward (its contribution and gradients are < eps,
+    exactly the splats gsplat's early-terminating rasterizer never
+    processes). ``acc_prev`` only gates the skip; its cotangent is zero.
+    """
+    return _composite_skip_fwd_impl(
+        g_means, g_conics, g_colors, g_opac, acc_prev, num_tiles_x,
+        tile_size, interpret, mixed_precision
+    )
+
+
+def _composite_skip_fwd_impl(g_means, g_conics, g_colors, g_opac, acc_prev,
+                             num_tiles_x, tile_size, interpret,
+                             mixed_precision=False):
+    t, d, k = g_colors.shape
+    p = tile_size * tile_size
+    tb = _tiles_per_instance(k, t)
+    (g_means, g_conics, g_colors, g_opac, acc_prev), tp = _pad_tiles(
+        [g_means, g_conics, g_colors, g_opac, acc_prev], t, tb
+    )
+    kern = functools.partial(
+        _fwd_kernel_skip, num_tiles_x=num_tiles_x, tile_size=tile_size,
+        p=p, tb=tb,
+        op_dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
+    )
+    flops_tile = p * k * (20 + 2 * k + 2 * d)
+    out, acc = pl.pallas_call(
+        kern,
+        grid=(tp // tb,),
+        in_specs=[_block(2, k, tb), _block(3, k, tb), _block(d, k, tb),
+                  _block(1, k, tb), _block(1, p, tb)],
+        out_specs=(_block(d, p, tb), _block(1, p, tb)),
+        out_shape=(
+            jax.ShapeDtypeStruct((tp, d, p), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 1, p), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=t * flops_tile,
+            bytes_accessed=t * k * 4 * (2 + 3 + d + 1) + t * p * 4 * (d + 2),
+            transcendentals=t * p * k * 2,
+        ),
+        interpret=_interpret_default(interpret),
+    )(g_means, g_conics, g_colors, g_opac, acc_prev)
+    return out[:t], acc[:t]
+
+
+def _composite_skip_fwd(g_means, g_conics, g_colors, g_opac, acc_prev,
+                        num_tiles_x, tile_size, interpret, mixed_precision):
+    out = _composite_skip_fwd_impl(
+        g_means, g_conics, g_colors, g_opac, acc_prev, num_tiles_x,
+        tile_size, interpret, mixed_precision
+    )
+    return out, (g_means, g_conics, g_colors, g_opac, acc_prev)
+
+
+def _composite_skip_bwd(num_tiles_x, tile_size, interpret, mixed_precision,
+                        res, grads):
+    g_means, g_conics, g_colors, g_opac, acc_prev = res
+    gout, gacc = grads
+    t, d, k = g_colors.shape
+    p = tile_size * tile_size
+    tb = _tiles_per_instance(k, t)
+    (g_means, g_conics, g_colors, g_opac, acc_prev, gout, gacc), tp = (
+        _pad_tiles(
+            [g_means, g_conics, g_colors, g_opac, acc_prev, gout, gacc],
+            t, tb,
+        )
+    )
+    kern = functools.partial(
+        _bwd_kernel_skip, num_tiles_x=num_tiles_x, tile_size=tile_size,
+        p=p, tb=tb,
+        op_dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
+    )
+    flops_tile = p * k * (40 + 4 * k + 4 * d)
+    dmeans, dconics, dcolors, dopac = pl.pallas_call(
+        kern,
+        grid=(tp // tb,),
+        in_specs=[
+            _block(2, k, tb), _block(3, k, tb), _block(d, k, tb),
+            _block(1, k, tb), _block(1, p, tb),
+            _block(d, p, tb), _block(1, p, tb),
+        ],
+        out_specs=(
+            _block(2, k, tb), _block(3, k, tb), _block(d, k, tb),
+            _block(1, k, tb),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((tp, 2, k), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 3, k), jnp.float32),
+            jax.ShapeDtypeStruct((tp, d, k), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 1, k), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=t * flops_tile,
+            bytes_accessed=t * k * 4 * 2 * (2 + 3 + d + 1)
+            + t * p * 4 * (d + 2),
+            transcendentals=t * p * k * 2,
+        ),
+        interpret=_interpret_default(interpret),
+    )(g_means, g_conics, g_colors, g_opac, acc_prev, gout, gacc)
+    # acc_prev only gates the (measure-zero) skip predicate: zero cotangent
+    return (dmeans[:t], dconics[:t], dcolors[:t], dopac[:t],
+            jnp.zeros_like(acc_prev[:t]))
+
+
+composite_tiles_pallas_skip.defvjp(_composite_skip_fwd, _composite_skip_bwd)
+
+
 # Largest K handed to a single pallas_call. Over-compositing is associative
 # in (color, accumulated alpha): for a front-to-back split A|B of the depth-
 # sorted per-tile lists, out = out_A + (1-acc_A)*out_B and
@@ -381,14 +578,19 @@ def composite_tiles_chunked(g_means, g_conics, g_colors, g_opac,
     acc = None
     for s in range(0, k, K_CHUNK):
         e = min(s + K_CHUNK, k)
-        o, a = composite_tiles_pallas(
-            g_means[..., s:e], g_conics[..., s:e], g_colors[..., s:e],
-            g_opac[..., s:e], num_tiles_x, tile_size, interpret,
-            mixed_precision,
-        )
+        parts = (g_means[..., s:e], g_conics[..., s:e], g_colors[..., s:e],
+                 g_opac[..., s:e])
         if out is None:
-            out, acc = o, a
+            out, acc = composite_tiles_pallas(
+                *parts, num_tiles_x, tile_size, interpret, mixed_precision,
+            )
         else:
+            # later chunks carry the accumulated alpha so saturated tiles
+            # early-terminate (gsplat's T < 1e-4 stop, exact to eps)
+            o, a = composite_tiles_pallas_skip(
+                *parts, jax.lax.stop_gradient(acc), num_tiles_x, tile_size,
+                interpret, mixed_precision,
+            )
             trans = 1.0 - acc          # [T, 1, P]
             out = out + trans * o
             acc = acc + trans * a

@@ -367,3 +367,47 @@ def test_k_chunked_composite_parity(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(gb), np.asarray(ga), atol=5e-4, rtol=1e-3
         )
+
+
+def test_chunked_early_termination_skips_saturated_tiles():
+    """Chunk 2+ must be skipped entirely for tiles whose pixels are all
+    saturated by chunk 1 (gsplat's T < 1e-4 early stop). Observable: NaN
+    payloads in the later chunk do NOT reach the output when every pixel
+    saturates first, and DO when the tile stays transparent."""
+    import numpy as np
+
+    from qed_splatter_tpu.ops.rasterize_pallas import (
+        K_CHUNK,
+        composite_tiles_chunked,
+    )
+
+    t, d, k = 2, 3, 2 * K_CHUNK
+    ts = 16
+    # tile 0: a huge opaque gaussian in chunk 1 saturates every pixel;
+    # tile 1: fully transparent chunk 1
+    g_means = np.zeros((t, 2, k), np.float32)
+    g_conics = np.zeros((t, 3, k), np.float32)
+    g_colors = np.zeros((t, d, k), np.float32)
+    g_opac = np.zeros((t, 1, k), np.float32)
+    for i in range(8):  # stack of big opaque splats -> acc ~ 1 - 1e-3^8
+        g_means[0, :, i] = (8.0, 8.0)
+        g_conics[0, :, i] = (1e-6, 0.0, 1e-6)
+        g_colors[0, :, i] = (0.5, 0.2, 0.1)
+        g_opac[0, 0, i] = 0.999
+    # poison the SECOND chunk of both tiles
+    g_means[:, :, K_CHUNK] = (8.0, 8.0)
+    g_conics[:, :, K_CHUNK] = (1e-6, 0.0, 1e-6)
+    g_colors[:, :, K_CHUNK] = np.nan
+    g_opac[:, 0, K_CHUNK] = 0.5
+
+    out, acc = composite_tiles_chunked(
+        jnp.asarray(g_means), jnp.asarray(g_conics), jnp.asarray(g_colors),
+        jnp.asarray(g_opac), num_tiles_x=2, tile_size=ts, interpret=True,
+        mixed_precision=False,
+    )
+    out = np.asarray(out)
+    # saturated tile: skip fired, NaN never touched the output
+    assert np.isfinite(out[0]).all()
+    assert np.allclose(np.asarray(acc)[0], 1.0, atol=1e-2)
+    # transparent tile: chunk 2 ran (NaN reaches the output)
+    assert np.isnan(out[1]).any()

@@ -306,3 +306,36 @@ def test_eval_uses_checkpoint_model_config(dataset, tmp_path):
         "--load-dir", str(out / "qed-splatter" / "ckpts"),
     ])
     assert rc == 0
+
+
+def test_trainer_resume_after_capacity_growth(dataset, tmp_path):
+    """Resuming must adapt the restore template to the checkpoint's grown
+    capacity (densification doubles it mid-run)."""
+    import jax.numpy as jnp
+
+    from qed_splatter_tpu.models.gaussians import grow_capacity
+
+    cfg = _tiny_config(dataset, tmp_path)
+    t1 = Trainer(cfg)
+    t1.train(max_steps=20)
+    cap0 = int(t1.state.params.capacity)
+    # simulate a capacity growth, then checkpoint it
+    t1.state = t1.state.replace(
+        params=grow_capacity(t1.state.params, cap0 * 2),
+        opt_state=t1.optims.init(
+            grow_capacity(t1.state.params, cap0 * 2).trainable_dict()
+        ),
+        stats=type(t1.state.stats).zeros(cap0 * 2),
+    )
+    ckpt.save_checkpoint(
+        t1.run_dir / "ckpts", t1.state, 20, model_config=t1.cfg,
+        k_by_d={2: 128},
+    )
+    cfg2 = _tiny_config(dataset, tmp_path, load_dir=str(t1.run_dir / "ckpts"))
+    t2 = Trainer(cfg2)
+    assert int(t2.state.params.capacity) == cap0 * 2
+    assert int(t2.state.step) == 20
+    assert t2._k_by_d.get(2) == 128
+    assert bool(jnp.all(jnp.isfinite(t2.state.params.means)))
+    t2.train(max_steps=30)
+    assert int(t2.state.step) == 30
