@@ -86,7 +86,10 @@ class Camera:
         """Return a camera with output resolution rescaled by ``scale``.
 
         Mirrors nerfstudio's ``rescale_output_resolution`` used for the
-        coarse-to-fine schedule (reference model.py:244-250).
+        coarse-to-fine schedule (reference model.py:244-250). Dimensions
+        FLOOR (int(w * scale)) to match the image downscalers, which drop
+        trailing rows/cols of odd-sized images (``round`` desynced the
+        camera from the image by one pixel at e.g. 135/2 -> 68 vs 67).
         """
         return dataclasses.replace(
             self,
@@ -94,8 +97,8 @@ class Camera:
             fy=self.fy * scale,
             cx=self.cx * scale,
             cy=self.cy * scale,
-            width=int(round(self.width * scale)),
-            height=int(round(self.height * scale)),
+            width=int(self.width * scale),
+            height=int(self.height * scale),
         )
 
 

@@ -62,3 +62,14 @@ def test_camera_looks_at_target():
     p = w2c[:3, :3] @ target + w2c[:3, 3]
     assert p[2] > 4.9  # in front, ~radius away
     np.testing.assert_allclose(p[:2], 0.0, atol=1e-4)
+
+
+def test_rescaled_floors_odd_dimensions():
+    """Camera.rescaled must FLOOR dims like the image downscalers (round()
+    desynced camera 68 vs image 67 at 135/2, crashing the loss)."""
+    from qed_splatter_tpu.ops.camera import Camera
+
+    cam = Camera(fx=100.0, fy=100.0, cx=67.5, cy=50.5, width=135, height=101,
+                 c2w=np.eye(4, dtype=np.float32)[:3])
+    half = cam.rescaled(0.5)
+    assert (half.width, half.height) == (67, 50)
