@@ -186,6 +186,7 @@ def render(
             # bf16 MXU operands in the compositing kernels, train only
             # (eval renders and metrics stay f32)
             mixed_precision=cfg.mixed_precision and train,
+            tile_counts=binning.tile_counts,
         )
     else:
         out = rasterize_tiles(

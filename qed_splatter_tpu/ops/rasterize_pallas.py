@@ -163,15 +163,20 @@ def _fwd_kernel(means_ref, conics_ref, colors_ref, opac_ref,
                        num_tiles_x, tile_size, p, op_dtype)
 
 
-def _fwd_kernel_skip(means_ref, conics_ref, colors_ref, opac_ref, accp_ref,
-                     out_ref, acc_ref, *, num_tiles_x, tile_size, p, tb,
+def _fwd_kernel_skip(counts_ref, means_ref, conics_ref, colors_ref,
+                     opac_ref, accp_ref, out_ref, acc_ref, *,
+                     num_tiles_x, tile_size, p, tb, chunk_start,
                      op_dtype=jnp.float32):
-    """Forward with per-tile early termination: ``accp_ref`` is the alpha
-    already accumulated by earlier depth chunks; a fully saturated tile
-    skips its matmuls entirely (the chunk's contribution is < eps)."""
+    """Forward with per-tile early termination. A tile skips this depth
+    chunk's matmuls when EITHER its pixels are all saturated (``accp_ref``,
+    the alpha accumulated by earlier chunks) OR its uncapped intersection
+    count (scalar-prefetched ``counts_ref``) shows the chunk holds only
+    padding."""
     base = pl.program_id(0) * tb
     for j in range(tb):
-        live = jnp.max(1.0 - accp_ref[j, 0, :]) >= EARLY_STOP_EPS
+        live = (
+            jnp.max(1.0 - accp_ref[j, 0, :]) >= EARLY_STOP_EPS
+        ) & (counts_ref[base + j] > chunk_start)
 
         @pl.when(live)
         def _():
@@ -185,17 +190,19 @@ def _fwd_kernel_skip(means_ref, conics_ref, colors_ref, opac_ref, accp_ref,
             acc_ref[j] = jnp.zeros(acc_ref.shape[1:], jnp.float32)
 
 
-def _bwd_kernel_skip(means_ref, conics_ref, colors_ref, opac_ref, accp_ref,
-                     gout_ref, gacc_ref,
+def _bwd_kernel_skip(counts_ref, means_ref, conics_ref, colors_ref,
+                     opac_ref, accp_ref, gout_ref, gacc_ref,
                      dmeans_ref, dconics_ref, dcolors_ref, dopac_ref,
-                     *, num_tiles_x, tile_size, p, tb,
+                     *, num_tiles_x, tile_size, p, tb, chunk_start,
                      op_dtype=jnp.float32):
     """Backward with the forward's early-termination predicate: a chunk the
     forward skipped contributed (exact) zeros, so its gradients are zero —
     the same splats gsplat's backward replay never touches."""
     base = pl.program_id(0) * tb
     for j in range(tb):
-        live = jnp.max(1.0 - accp_ref[j, 0, :]) >= EARLY_STOP_EPS
+        live = (
+            jnp.max(1.0 - accp_ref[j, 0, :]) >= EARLY_STOP_EPS
+        ) & (counts_ref[base + j] > chunk_start)
 
         @pl.when(live)
         def _():
@@ -277,7 +284,7 @@ def _bwd_tile_body(means_ref, conics_ref, colors_ref, opac_ref,
 def _block(c, k, tb=1):
     """Channel-major [T, C, K] block: lanes = K (128-aligned), sublanes = C.
     ``tb`` tiles per grid instance amortize per-instance overhead."""
-    return pl.BlockSpec((tb, c, k), lambda t: (t, 0, 0),
+    return pl.BlockSpec((tb, c, k), lambda t, *_: (t, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -427,14 +434,16 @@ def _composite_bwd(num_tiles_x, tile_size, interpret, mixed_precision, res,
 composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def composite_tiles_pallas_skip(
     g_means: jnp.ndarray,    # [T, 2, K]
     g_conics: jnp.ndarray,   # [T, 3, K]
     g_colors: jnp.ndarray,   # [T, D, K]
     g_opac: jnp.ndarray,     # [T, 1, K]
     acc_prev: jnp.ndarray,   # [T, 1, P] alpha accumulated by earlier chunks
+    counts: jnp.ndarray,     # [T] int32 uncapped per-tile intersections
     num_tiles_x: int,
+    chunk_start: int = 0,    # this chunk covers depth ranks >= chunk_start
     tile_size: int = 16,
     interpret: Optional[bool] = None,
     mixed_precision: bool = False,
@@ -449,14 +458,21 @@ def composite_tiles_pallas_skip(
     processes). ``acc_prev`` only gates the skip; its cotangent is zero.
     """
     return _composite_skip_fwd_impl(
-        g_means, g_conics, g_colors, g_opac, acc_prev, num_tiles_x,
-        tile_size, interpret, mixed_precision
+        g_means, g_conics, g_colors, g_opac, acc_prev, counts, num_tiles_x,
+        chunk_start, tile_size, interpret, mixed_precision
     )
 
 
+def _pad_counts(counts, tp):
+    pad = tp - counts.shape[0]
+    if pad == 0:
+        return counts.astype(jnp.int32)
+    return jnp.pad(counts.astype(jnp.int32), (0, pad))  # padding skips
+
+
 def _composite_skip_fwd_impl(g_means, g_conics, g_colors, g_opac, acc_prev,
-                             num_tiles_x, tile_size, interpret,
-                             mixed_precision=False):
+                             counts, num_tiles_x, chunk_start, tile_size,
+                             interpret, mixed_precision=False):
     t, d, k = g_colors.shape
     p = tile_size * tile_size
     tb = _tiles_per_instance(k, t)
@@ -465,16 +481,19 @@ def _composite_skip_fwd_impl(g_means, g_conics, g_colors, g_opac, acc_prev,
     )
     kern = functools.partial(
         _fwd_kernel_skip, num_tiles_x=num_tiles_x, tile_size=tile_size,
-        p=p, tb=tb,
+        p=p, tb=tb, chunk_start=chunk_start,
         op_dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
     )
     flops_tile = p * k * (20 + 2 * k + 2 * d)
     out, acc = pl.pallas_call(
         kern,
-        grid=(tp // tb,),
-        in_specs=[_block(2, k, tb), _block(3, k, tb), _block(d, k, tb),
-                  _block(1, k, tb), _block(1, p, tb)],
-        out_specs=(_block(d, p, tb), _block(1, p, tb)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(tp // tb,),
+            in_specs=[_block(2, k, tb), _block(3, k, tb), _block(d, k, tb),
+                      _block(1, k, tb), _block(1, p, tb)],
+            out_specs=(_block(d, p, tb), _block(1, p, tb)),
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((tp, d, p), jnp.float32),
             jax.ShapeDtypeStruct((tp, 1, p), jnp.float32),
@@ -485,22 +504,23 @@ def _composite_skip_fwd_impl(g_means, g_conics, g_colors, g_opac, acc_prev,
             transcendentals=t * p * k * 2,
         ),
         interpret=_interpret_default(interpret),
-    )(g_means, g_conics, g_colors, g_opac, acc_prev)
+    )(_pad_counts(counts, tp), g_means, g_conics, g_colors, g_opac, acc_prev)
     return out[:t], acc[:t]
 
 
 def _composite_skip_fwd(g_means, g_conics, g_colors, g_opac, acc_prev,
-                        num_tiles_x, tile_size, interpret, mixed_precision):
+                        counts, num_tiles_x, chunk_start, tile_size,
+                        interpret, mixed_precision):
     out = _composite_skip_fwd_impl(
-        g_means, g_conics, g_colors, g_opac, acc_prev, num_tiles_x,
-        tile_size, interpret, mixed_precision
+        g_means, g_conics, g_colors, g_opac, acc_prev, counts, num_tiles_x,
+        chunk_start, tile_size, interpret, mixed_precision
     )
-    return out, (g_means, g_conics, g_colors, g_opac, acc_prev)
+    return out, (g_means, g_conics, g_colors, g_opac, acc_prev, counts)
 
 
-def _composite_skip_bwd(num_tiles_x, tile_size, interpret, mixed_precision,
-                        res, grads):
-    g_means, g_conics, g_colors, g_opac, acc_prev = res
+def _composite_skip_bwd(num_tiles_x, chunk_start, tile_size, interpret,
+                        mixed_precision, res, grads):
+    g_means, g_conics, g_colors, g_opac, acc_prev, counts = res
     gout, gacc = grads
     t, d, k = g_colors.shape
     p = tile_size * tile_size
@@ -513,21 +533,24 @@ def _composite_skip_bwd(num_tiles_x, tile_size, interpret, mixed_precision,
     )
     kern = functools.partial(
         _bwd_kernel_skip, num_tiles_x=num_tiles_x, tile_size=tile_size,
-        p=p, tb=tb,
+        p=p, tb=tb, chunk_start=chunk_start,
         op_dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
     )
     flops_tile = p * k * (40 + 4 * k + 4 * d)
     dmeans, dconics, dcolors, dopac = pl.pallas_call(
         kern,
-        grid=(tp // tb,),
-        in_specs=[
-            _block(2, k, tb), _block(3, k, tb), _block(d, k, tb),
-            _block(1, k, tb), _block(1, p, tb),
-            _block(d, p, tb), _block(1, p, tb),
-        ],
-        out_specs=(
-            _block(2, k, tb), _block(3, k, tb), _block(d, k, tb),
-            _block(1, k, tb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(tp // tb,),
+            in_specs=[
+                _block(2, k, tb), _block(3, k, tb), _block(d, k, tb),
+                _block(1, k, tb), _block(1, p, tb),
+                _block(d, p, tb), _block(1, p, tb),
+            ],
+            out_specs=(
+                _block(2, k, tb), _block(3, k, tb), _block(d, k, tb),
+                _block(1, k, tb),
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((tp, 2, k), jnp.float32),
@@ -542,10 +565,12 @@ def _composite_skip_bwd(num_tiles_x, tile_size, interpret, mixed_precision,
             transcendentals=t * p * k * 2,
         ),
         interpret=_interpret_default(interpret),
-    )(g_means, g_conics, g_colors, g_opac, acc_prev, gout, gacc)
-    # acc_prev only gates the (measure-zero) skip predicate: zero cotangent
+    )(_pad_counts(counts, tp), g_means, g_conics, g_colors, g_opac,
+      acc_prev, gout, gacc)
+    # acc_prev/counts only gate the (measure-zero) skip predicate: zero
+    # cotangents
     return (dmeans[:t], dconics[:t], dcolors[:t], dopac[:t],
-            jnp.zeros_like(acc_prev[:t]))
+            jnp.zeros_like(acc_prev[:t]), jnp.zeros_like(counts))
 
 
 composite_tiles_pallas_skip.defvjp(_composite_skip_fwd, _composite_skip_bwd)
@@ -566,14 +591,21 @@ K_CHUNK = 1024
 
 def composite_tiles_chunked(g_means, g_conics, g_colors, g_opac,
                             num_tiles_x, tile_size, interpret,
-                            mixed_precision):
-    """composite_tiles_pallas over depth-ordered K chunks of <= K_CHUNK."""
+                            mixed_precision, tile_counts=None):
+    """composite_tiles_pallas over depth-ordered K chunks of <= K_CHUNK.
+
+    Chunks after the first early-terminate per tile on saturation (the
+    accumulated alpha) and, when ``tile_counts`` (uncapped per-tile
+    intersection counts from the binning) is given, on the chunk holding
+    only padding — most tiles sit far below the adaptive K cap."""
     k = g_colors.shape[-1]
     if k <= K_CHUNK:
         return composite_tiles_pallas(
             g_means, g_conics, g_colors, g_opac, num_tiles_x, tile_size,
             interpret, mixed_precision,
         )
+    if tile_counts is None:
+        tile_counts = jnp.full((g_colors.shape[0],), k, jnp.int32)
     out = None
     acc = None
     for s in range(0, k, K_CHUNK):
@@ -588,8 +620,9 @@ def composite_tiles_chunked(g_means, g_conics, g_colors, g_opac,
             # later chunks carry the accumulated alpha so saturated tiles
             # early-terminate (gsplat's T < 1e-4 stop, exact to eps)
             o, a = composite_tiles_pallas_skip(
-                *parts, jax.lax.stop_gradient(acc), num_tiles_x, tile_size,
-                interpret, mixed_precision,
+                *parts, jax.lax.stop_gradient(acc),
+                jax.lax.stop_gradient(tile_counts), num_tiles_x, s,
+                tile_size, interpret, mixed_precision,
             )
             trans = 1.0 - acc          # [T, 1, P]
             out = out + trans * o
@@ -616,6 +649,7 @@ def rasterize_tiles_pallas(
     inv_order: Optional[jnp.ndarray] = None,
     absgrad_seed: Optional[jnp.ndarray] = None,
     mixed_precision: bool = False,
+    tile_counts: Optional[jnp.ndarray] = None,
 ):
     """Drop-in replacement for ops.rasterize.rasterize_tiles using the
     Pallas kernels. The per-tile gather stays in XLA so parameter gradients
@@ -662,7 +696,7 @@ def rasterize_tiles_pallas(
 
     out, acc = composite_tiles_chunked(
         g_means, g_conics, g_colors, g_opac, num_tiles_x, tile_size,
-        interpret, mixed_precision,
+        interpret, mixed_precision, tile_counts=tile_counts,
     )
     # out: [T, D, P] -> [H, W, D]
     img = out.reshape(num_tiles_y, num_tiles_x, d, tile_size, tile_size)

@@ -411,3 +411,13 @@ def test_chunked_early_termination_skips_saturated_tiles():
     assert np.allclose(np.asarray(acc)[0], 1.0, atol=1e-2)
     # transparent tile: chunk 2 ran (NaN reaches the output)
     assert np.isnan(out[1]).any()
+
+    # count gating: declaring tile 1's uncapped count < K_CHUNK marks its
+    # second chunk as pure padding -> skipped even though unsaturated
+    out2, _ = composite_tiles_chunked(
+        jnp.asarray(g_means), jnp.asarray(g_conics), jnp.asarray(g_colors),
+        jnp.asarray(g_opac), num_tiles_x=2, tile_size=ts, interpret=True,
+        mixed_precision=False,
+        tile_counts=jnp.asarray([k, K_CHUNK - 1], jnp.int32),
+    )
+    assert np.isfinite(np.asarray(out2)).all()
