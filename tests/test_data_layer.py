@@ -417,3 +417,60 @@ def test_room_dataset_cross_view_consistency(tmp_path):
     consistent = (np.abs(samp - z[ok]) < 0.05).mean()
     assert consistent > 0.6  # the rest are genuinely occluded
     assert (d1 > 0).all()    # closed room: every ray hits a surface
+
+
+def test_colorize_points_oracle():
+    """Batched device colorize == per-point numpy reasoning: depth-consistent
+    points take the pixel color, occluded/out-of-frame points stay uncolored."""
+    import jax.numpy as jnp
+
+    from qed_splatter_tpu.ops.backproject import colorize_points
+
+    h, w = 24, 32
+    K = np.array([[20.0, 0, 16.0], [0, 20.0, 12.0], [0, 0, 1.0]], np.float32)
+    # camera at origin looking +z (OpenCV w2c = identity)
+    w2c = np.eye(4, dtype=np.float32)
+    depth = np.full((h, w), 2.0, np.float32)
+    img = np.zeros((h, w, 3), np.float32)
+    img[:, :16] = (1.0, 0.0, 0.0)   # left half red
+    img[:, 16:] = (0.0, 1.0, 0.0)   # right half green
+
+    pts = np.array([
+        [-0.5, 0.0, 2.0],   # projects left at consistent depth -> red
+        [0.5, 0.0, 2.0],    # right -> green
+        [0.0, 0.0, 3.0],    # behind the measured surface -> rejected
+        [5.0, 0.0, 2.0],    # projects out of frame -> rejected
+        [0.0, 0.0, -1.0],   # behind the camera -> rejected
+    ], np.float32)
+    s, c = colorize_points(
+        jnp.asarray(pts), jnp.asarray(img[None]), jnp.asarray(depth[None]),
+        jnp.asarray(w2c[None]), jnp.asarray(K[None]),
+        jnp.float32(10.0), jnp.float32(0.05), jnp.float32(0.02),
+    )
+    s, c = np.asarray(s), np.asarray(c)
+    assert c.tolist() == [1, 1, 0, 0, 0]
+    assert np.allclose(s[0], (1, 0, 0))
+    assert np.allclose(s[1], (0, 1, 0))
+
+
+def test_streaming_merge_respects_budget(tmp_path):
+    """The accumulator re-voxelizes whenever it exceeds max_points."""
+    from qed_splatter_tpu.data.init_pc import streaming_merge
+    from qed_splatter_tpu.data.ply import write_ply
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(4):
+        pts = rng.uniform(0, 1.0, (500, 3)).astype(np.float32)
+        p = tmp_path / f"c{i}.ply"
+        write_ply(p, pts)
+        paths.append(p)
+    msgs = []
+    merged = streaming_merge(paths, voxel_size=0.05, max_points=600,
+                             log=msgs.append)
+    # re-voxelization fired each time the accumulator crossed the budget
+    # (best-effort: a fixed voxel size bounds density, not count — same
+    # contract as the reference's over-budget downsample)
+    assert len(msgs) >= 2 and all("re-voxelized" in m for m in msgs)
+    assert len(merged) < 2000  # 2000 raw points, deduped by voxel passes
+    assert merged.min() >= 0.0 and merged.max() <= 1.0
