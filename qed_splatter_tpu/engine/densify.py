@@ -216,14 +216,21 @@ def refine(
     free = ~alive_after_cull
     free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
     take = free & (free_rank < n_eff)
-    cidx = jnp.clip(free_rank, 0, max_new - 1)
+
+    # Scatter the [max_new] candidate rows into their slots rather than
+    # gathering a full-capacity candidate array: the gather form
+    # (cand[name][clip(free_rank)]) materializes a [C, 15, 3] temp that
+    # XLA lays out with 11x tile padding — 2 x 6.8 GB at 3.58M capacity,
+    # an HBM OOM the scatter form avoids entirely (candidates are only
+    # max_new (<=65k) rows).
+    slot_of_rank = jnp.full((max_new,), c, jnp.int32).at[
+        jnp.where(take, free_rank, max_new)
+    ].set(idx, mode="drop")
 
     old = params.trainable_dict()
     new = {}
     for name, arr in old.items():
-        c_arr = cand[name][cidx]
-        sel = take.reshape((c,) + (1,) * (arr.ndim - 1))
-        new[name] = jnp.where(sel, c_arr, arr)
+        new[name] = arr.at[slot_of_rank].set(cand[name], mode="drop")
     new_alive = alive_after_cull | take
 
     # ---- optimizer-state surgery: zero moments of culled + reseeded slots -
