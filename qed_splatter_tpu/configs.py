@@ -62,6 +62,13 @@ class ModelConfig:
     max_per_tile: int = 512              # fixed-K per-tile compositing cap
     init_capacity_headroom: float = 4.0  # capacity = headroom * seed points
     max_capacity: int = 4_194_304        # hard ceiling for densification
+    # Capacity growth is committed only after the grown-capacity train step
+    # (and refine) AOT-compile and their XLA memory analysis fits within
+    # this fraction of the device's HBM. A growth that would OOM (or fail
+    # to compile) is refused — the priority-capped densifier then operates
+    # at the current capacity — instead of killing the TPU worker
+    # mid-run (observed: the 1.79M->3.58M growth of the round-3 room run).
+    grow_memory_fraction: float = 0.9
     near_plane: float = 0.01             # model.py:279
     far_plane: float = 1e10              # model.py:280
     use_pallas: bool = True              # pallas kernels on TPU, XLA elsewhere

@@ -126,6 +126,9 @@ class Trainer:
             self.viewer.start()
         self._step_fns: Dict[Tuple, object] = {}
         self._sharded_fns: Dict[Tuple, object] = {}
+        # memory-gated capacity growth (see _probe_grown_compiles)
+        self._grow_refused: set = set()
+        self._refine_exec: Dict[Tuple, object] = {}
         # divergence containment (TrainerConfig.on_divergence)
         self._rollbacks = 0
         self._densify_frozen_until = 0
@@ -275,48 +278,185 @@ class Trainer:
             batch["mask"] = jnp.asarray((m > 0.5).astype(np.float32))
         return batch, cam, has_depth, has_mask
 
-    def _maybe_grow(self) -> None:
+    @staticmethod
+    def _grown_state(state: TrainState, new_cap: int) -> TrainState:
+        """Pure capacity-growth transformation (eval_shape-able, so the
+        memory gate can derive the grown shapes without allocating)."""
+        params = state.params
+        cap = params.capacity
+        grown = grow_capacity(params, new_cap)
+        # padded slots must hold benign values: a zero quat (from
+        # jnp.pad) has a NaN-gradient normalization that poisons the
+        # whole backward pass (first observed at the first growth)
+        grown = grown.replace(
+            quats=jnp.where(
+                jnp.arange(new_cap)[:, None] < cap,
+                grown.quats,
+                jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+            )
+        )
+
+        def pad_leaf(x):
+            pad = [(0, new_cap - cap)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad)
+
+        # Adam moment leaves (mu/nu) have exactly their param's shape;
+        # count scalars and any non-moment leaf pass through. Matching
+        # against the param template (not a bare shape[0] == capacity
+        # heuristic) cannot collide with unrelated same-length leaves.
+        old_params = params.trainable_dict()
+        opt_state = {
+            k: jax.tree.map(
+                lambda x: pad_leaf(x)
+                if getattr(x, "shape", None) == old_params[k].shape
+                else x,
+                state.opt_state[k],
+            )
+            for k in state.opt_state
+        }
+        # DensifyStats leaves are all capacity-dim by construction
+        stats = jax.tree.map(pad_leaf, state.stats)
+        return state.replace(params=grown, opt_state=opt_state, stats=stats)
+
+    # --------------------------------------------- memory-gated growth
+
+    @staticmethod
+    def _abstract(tree):
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype)
+            if not isinstance(x, jax.ShapeDtypeStruct) else x,
+            tree,
+        )
+
+    @staticmethod
+    def _exe_peak_bytes(compiled) -> Optional[int]:
+        """Peak HBM of one executable run: live arguments + outputs
+        (minus donation aliasing) + XLA temporaries."""
+        try:
+            ana = compiled.memory_analysis()
+        except Exception:
+            return None
+        if ana is None:
+            return None
+        get = lambda f: int(getattr(ana, f, 0) or 0)  # noqa: E731
+        return (
+            get("argument_size_in_bytes") + get("output_size_in_bytes")
+            - get("alias_size_in_bytes") + get("temp_size_in_bytes")
+        )
+
+    @staticmethod
+    def _device_memory_stats() -> dict:
+        """HBM accounting of device 0 ({} where the backend has none)."""
+        try:
+            return jax.local_devices()[0].memory_stats() or {}
+        except Exception:
+            return {}
+
+    def _probe_grown_compiles(self, cur: int, max_hw: int,
+                              new_cap: int) -> Tuple[bool, str]:
+        """AOT-compile the train dispatch and the refine pass at the grown
+        capacity, and check their XLA memory analysis against the device
+        HBM budget. Returns (ok, reason). The compiled executables are
+        cached so a committed growth pays no second compile.
+
+        Both observed failure modes of an over-large growth — a compile
+        error (round-3 first crash: remote-compile HTTP 500 at 3.58M) and
+        a mid-step TPU worker kill (round-3 second crash) — become a
+        refusal here: training continues at the current capacity with the
+        priority-capped densifier degrading gracefully."""
+        grown_abs = jax.eval_shape(
+            lambda s: self._grown_state(s, new_cap), self.state
+        )
+        rng_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        step_abs = jax.ShapeDtypeStruct((), jnp.int32)
+        peaks = []
+        resident_args = sum(
+            int(np.prod(l.shape)) * l.dtype.itemsize
+            for l in jax.tree.leaves(self.state)
+            if hasattr(l, "shape")
+        )
+        try:
+            # --- refine at the grown capacity (first round-3 crash site) ---
+            lowered = self._refine_jit.lower(
+                grown_abs.params, grown_abs.opt_state, grown_abs.stats,
+                step_abs, rng_abs, self.cfg,
+                num_train_data=self.dm.num_train, max_hw=max_hw,
+            )
+            refine_exec = lowered.compile()
+            peaks.append(self._exe_peak_bytes(refine_exec))
+            rkey = (new_cap, max_hw, self.dm.num_train, self.cfg)
+            self._refine_exec[rkey] = refine_exec
+
+            # --- the next train dispatch at the grown capacity ---
+            d = self._downscale_factor(cur)
+            need_absgrad = cur < self.cfg.stop_split_at
+            if self.mesh is None and self._use_scan():
+                chunk = self._dispatch_chunk()
+                skey = ("scan", d, chunk, need_absgrad, new_cap,
+                        self.cfg.max_per_tile)
+                call, ds = self._get_scan_fn(
+                    d, chunk, need_absgrad=need_absgrad, capacity=new_cap
+                )
+                resident_args += ds.nbytes()
+                perm_abs = jax.ShapeDtypeStruct((chunk,), jnp.int32)
+                data_abs = self._abstract(ds.data)
+                step_exec = call._jitted.lower(
+                    grown_abs, perm_abs, rng_abs, data_abs
+                ).compile()
+
+                def scan_call(state, perm, rng, _exec=step_exec, _ds=ds):
+                    return _exec(state, perm, rng, _ds.data)
+
+                scan_call._jitted = call._jitted
+                self._step_fns[skey] = scan_call
+                peaks.append(self._exe_peak_bytes(step_exec))
+            # mesh / per-step paths: refine (probed above) is the growth-
+            # adjacent compile; the step executable is left to normal jit.
+        except Exception as e:  # compile failure = refusal, not a crash
+            return False, f"grown-capacity compile failed: {e!r}"
+
+        peaks = [p for p in peaks if p]
+        mstats = self._device_memory_stats()
+        limit = mstats.get("bytes_limit")
+        if not peaks or not limit:
+            return True, "no device memory accounting available"
+        # residents the step does not list as arguments (eval renderer
+        # consts, other resolution buckets' image caches, ...)
+        other = max(int(mstats.get("bytes_in_use", 0)) - resident_args, 0)
+        need = other + max(peaks)
+        budget = self.cfg.grow_memory_fraction * limit
+        msg = (f"exe peaks {[round(p / 1e9, 2) for p in peaks]} GB + "
+               f"{other / 1e9:.2f} GB other residents = projected "
+               f"{need / 1e9:.2f} GB vs budget {budget / 1e9:.2f} GB "
+               f"({self.cfg.grow_memory_fraction:.2f} x {limit / 1e9:.2f} "
+               f"GB HBM)")
+        return need <= budget, msg
+
+    def _maybe_grow(self, cur: int = 0, max_hw: int = 0) -> None:
         params = self.state.params
         n_alive = int(params.num_alive())
         cap = params.capacity
         if n_alive > 0.85 * cap and cap < self.cfg.max_capacity:
             new_cap = min(cap * 2, self.cfg.max_capacity)
-            print(f"Growing gaussian capacity {cap} -> {new_cap}")
-            grown = grow_capacity(params, new_cap)
-            # padded slots must hold benign values: a zero quat (from
-            # jnp.pad) has a NaN-gradient normalization that poisons the
-            # whole backward pass (first observed at the first growth)
-            grown = grown.replace(
-                quats=jnp.where(
-                    jnp.arange(new_cap)[:, None] < cap,
-                    grown.quats,
-                    jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+            if new_cap in self._grow_refused:
+                return
+            if max_hw <= 0:  # direct callers without a batch in flight
+                cam = self.dm.get_item(int(self.dm.train_indices[0]))["camera"]
+                d = self._downscale_factor(cur)
+                if d > 1:
+                    cam = cam.rescaled(1.0 / d)
+                max_hw = max(cam.width, cam.height)
+            ok, why = self._probe_grown_compiles(cur, max_hw, new_cap)
+            if not ok:
+                print(
+                    f"REFUSING gaussian capacity growth {cap} -> {new_cap}:"
+                    f" {why}. Continuing at capacity {cap}; densification"
+                    " is priority-capped to the remaining free slots."
                 )
-            )
-
-            def pad_leaf(x):
-                pad = [(0, new_cap - cap)] + [(0, 0)] * (x.ndim - 1)
-                return jnp.pad(x, pad)
-
-            # Adam moment leaves (mu/nu) have exactly their param's shape;
-            # count scalars and any non-moment leaf pass through. Matching
-            # against the param template (not a bare shape[0] == capacity
-            # heuristic) cannot collide with unrelated same-length leaves.
-            old_params = params.trainable_dict()
-            opt_state = {
-                k: jax.tree.map(
-                    lambda x: pad_leaf(x)
-                    if getattr(x, "shape", None) == old_params[k].shape
-                    else x,
-                    self.state.opt_state[k],
-                )
-                for k in self.state.opt_state
-            }
-            # DensifyStats leaves are all capacity-dim by construction
-            stats = jax.tree.map(pad_leaf, self.state.stats)
-            self.state = self.state.replace(
-                params=grown, opt_state=opt_state, stats=stats
-            )
+                self._grow_refused.add(new_cap)
+                return
+            print(f"Growing gaussian capacity {cap} -> {new_cap} ({why})")
+            self.state = self._grown_state(self.state, new_cap)
 
     # ------------------------------------------------------------- train
 
@@ -328,14 +468,24 @@ class Trainer:
             and cur % self.cfg.refine_every == 0
             and cur >= self._densify_frozen_until
         ):
-            self._maybe_grow()
+            self._maybe_grow(cur, max_hw)
             key, sub = jax.random.split(key)
-            params, opt_state, stats, info = self._refine_jit(
-                self.state.params, self.state.opt_state, self.state.stats,
-                self.state.step, sub, self.cfg,
-                num_train_data=self.dm.num_train,
-                max_hw=max_hw,
-            )
+            rkey = (int(self.state.params.capacity), max_hw,
+                    self.dm.num_train, self.cfg)
+            refine_fn = self._refine_exec.get(rkey)
+            if refine_fn is not None:
+                # AOT executable compiled by the growth memory gate
+                params, opt_state, stats, info = refine_fn(
+                    self.state.params, self.state.opt_state,
+                    self.state.stats, self.state.step, sub,
+                )
+            else:
+                params, opt_state, stats, info = self._refine_jit(
+                    self.state.params, self.state.opt_state, self.state.stats,
+                    self.state.step, sub, self.cfg,
+                    num_train_data=self.dm.num_train,
+                    max_hw=max_hw,
+                )
             params, opt_state = self._reset_jit(
                 params, opt_state, self.state.step, self.cfg
             )

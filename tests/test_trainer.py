@@ -339,3 +339,77 @@ def test_trainer_resume_after_capacity_growth(dataset, tmp_path):
     assert bool(jnp.all(jnp.isfinite(t2.state.params.means)))
     t2.train(max_steps=30)
     assert int(t2.state.step) == 30
+
+
+def _force_grow_trigger(trainer):
+    """Mark >85% of slots alive so _maybe_grow wants to double capacity."""
+    import jax.numpy as jnp
+
+    params = trainer.state.params
+    alive = np.zeros(params.capacity, bool)
+    alive[: int(0.9 * params.capacity)] = True
+    trainer.state = trainer.state.replace(
+        params=params.replace(alive=jnp.asarray(alive))
+    )
+
+
+def test_growth_refused_when_over_memory_budget(dataset, tmp_path, monkeypatch):
+    """A growth whose compiled step/refine would not fit HBM is refused
+    (loudly, once) instead of crashing the TPU worker — the round-3 room
+    run died twice at the 1.79M->3.58M growth before this gate existed."""
+    cfg = _tiny_config(dataset, tmp_path)
+    trainer = Trainer(cfg)
+    cap = trainer.state.params.capacity
+    _force_grow_trigger(trainer)
+    # a 1-byte HBM "device": any projected peak exceeds the budget
+    monkeypatch.setattr(
+        Trainer, "_device_memory_stats",
+        staticmethod(lambda: {"bytes_limit": 1, "bytes_in_use": 0}),
+    )
+    trainer._maybe_grow()
+    assert trainer.state.params.capacity == cap
+    assert (2 * cap) in trainer._grow_refused
+    # the refusal is cached: no second probe (and no second compile)
+    def boom(*a, **k):
+        raise AssertionError("probe must not re-run for a refused capacity")
+    monkeypatch.setattr(trainer, "_probe_grown_compiles", boom)
+    trainer._maybe_grow()
+    assert trainer.state.params.capacity == cap
+    # training continues at the clamped capacity
+    trainer.train(max_steps=10)
+    assert np.isfinite(float(np.asarray(trainer.state.params.means).sum()))
+
+
+def test_growth_refused_on_compile_failure(dataset, tmp_path):
+    """A grown-capacity compile error (round-3 first crash: remote-compile
+    HTTP 500 at 3.58M) downgrades to a refusal; training continues."""
+    cfg = _tiny_config(dataset, tmp_path)
+    trainer = Trainer(cfg)
+    cap = trainer.state.params.capacity
+    _force_grow_trigger(trainer)
+
+    class FailingJit:
+        def lower(self, *a, **k):
+            raise RuntimeError("remote_compile: HTTP 500")
+
+    trainer._refine_jit = FailingJit()
+    trainer._maybe_grow()
+    assert trainer.state.params.capacity == cap
+    assert (2 * cap) in trainer._grow_refused
+
+
+def test_growth_allowed_caches_aot_executables(dataset, tmp_path, monkeypatch):
+    """When the memory gate passes, the probe's AOT-compiled refine (and
+    scan step, on the scan path) are cached so growth pays no second
+    compile of the same program."""
+    cfg = _tiny_config(dataset, tmp_path)
+    trainer = Trainer(cfg)
+    cap = trainer.state.params.capacity
+    _force_grow_trigger(trainer)
+    monkeypatch.setattr(
+        Trainer, "_device_memory_stats",
+        staticmethod(lambda: {"bytes_limit": 1 << 40, "bytes_in_use": 0}),
+    )
+    trainer._maybe_grow()
+    assert trainer.state.params.capacity == 2 * cap
+    assert any(k[0] == 2 * cap for k in trainer._refine_exec)
