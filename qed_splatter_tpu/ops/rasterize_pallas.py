@@ -4,16 +4,21 @@ The hot path of the per-iteration solve (SURVEY D5; BASELINE.json north
 star "Pallas tile-based rasterizer ... and the analytic backward pass").
 Replaces the XLA compositing in ops.rasterize for the [T, K] -> image stage:
 
-- **forward**: one grid instance per 16x16 tile; all K depth-ordered
-  gaussians' alphas for all 256 pixels evaluated in VMEM, exclusive
-  transmittance via a log-space triangular-matmul cumulative sum (MXU —
-  cumprod has no TPU lowering and a serial scan would waste the MXU),
-  weighted color reduction as a [D, K] x [K, P] MXU matmul.
+- **forward**: one grid instance per 16x16 tile; the [P, K] sigma field
+  is ONE MXU matmul (sigma is quadratic in pixel coordinates:
+  basis[P, 8] @ coef[8, K] in tile-local coordinates — see _sigma_tile),
+  exclusive transmittance via a log-space triangular-matmul cumulative
+  sum (MXU — cumprod has no TPU lowering and a serial scan would waste
+  the MXU), weighted color reduction as a [D, K] x [K, P] MXU matmul.
+  The kernel is VPU-bound at large K; both matmul tricks exist to move
+  [P, K] elementwise work onto the otherwise-idle MXU.
 - **backward**: custom VJP with gsplat-equivalent analytic gradients,
   recomputing alphas in-kernel instead of saving [T, P, K] residuals
   (the XLA-autodiff version's ~1 GB-per-tensor HBM traffic): the
   transmittance chain rule needs a triangular-matmul suffix sum only;
-  gradient reductions over pixels are MXU matmuls.
+  ALL [P, K] -> [K] parameter-gradient reductions (means, conics,
+  opacity) come from 6 pixel moments of dsigma = one [8, P] x [P, K]
+  MXU matmul (see _bwd_tile_body).
 
 Memory layout: all per-tile arrays are **channel-major** — [T, C, K] with
 the K (gaussian) axis last — so VMEM blocks are lane-aligned (K multiple of
@@ -41,16 +46,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qed_splatter_tpu.ops.rasterize import ALPHA_EPS, ALPHA_MAX
-
-
-def _pixel_grid(tile_idx, num_tiles_x: int, tile_size: int, p: int):
-    """Global pixel-center coordinates of this tile as [P, 1] columns."""
-    ox = (tile_idx % num_tiles_x) * tile_size
-    oy = (tile_idx // num_tiles_x) * tile_size
-    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = ox.astype(jnp.float32) + 0.5 + (pix % tile_size).astype(jnp.float32)
-    py = oy.astype(jnp.float32) + 0.5 + (pix // tile_size).astype(jnp.float32)
-    return px, py
 
 
 def _tri_strict_lower(k: int, dtype=jnp.float32):
@@ -107,25 +102,87 @@ def _excl_suffix_sum(x, op_dtype=jnp.float32):
     return total - (_excl_cumsum_last(x, op_dtype) + x)
 
 
+def _pixel_basis(tile_size: int, p: int):
+    """[P, 8] compile-time-constant quadratic basis in tile-LOCAL pixel
+    coordinates px' = u + 0.5 - ts/2 (u = pixel column in tile): columns
+    [1, px', py', px'^2, px'*py', py'^2, 0, 0] (padded to 8 sublanes).
+
+    Local coordinates are the precision trick that makes the MXU
+    formulation safe: |px'| <= 7.5, so no term in the expanded quadratic
+    carries the ~1e6-magnitude global-pixel squares whose f32 cancellation
+    would corrupt sigma."""
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    half = tile_size * 0.5
+    px = (pix % tile_size).astype(jnp.float32) + (0.5 - half)
+    py = (pix // tile_size).astype(jnp.float32) + (0.5 - half)
+    one = jnp.ones((p, 1), jnp.float32)
+    zero = jnp.zeros((p, 1), jnp.float32)
+    return jnp.concatenate(
+        [one, px, py, px * px, px * py, py * py, zero, zero], axis=1
+    )
+
+
+# Expanded-form sigma is the same quadratic evaluated with reassociated
+# f32 ops; allow ~1 ulp of drift on the PSD >= 0 test so a pixel at a
+# gaussian center cannot flip the mask on roundoff.
+_SIGMA_TOL = -1e-6
+
+
+def _sigma_tile(means_ref, conics_ref, tile_idx, j, num_tiles_x,
+                tile_size, p):
+    """sigma [P, K] for one tile as ONE MXU matmul (plus [1, K] setup).
+
+    sigma(px, py) = 0.5*(ca*dx^2 + cc*dy^2) + cb*dx*dy with dx = mx - px
+    is quadratic in the pixel coordinates, so the whole [P, K] field is
+    basis[P, 8] @ coef[8, K] — replacing ~10 [P, K] VPU elementwise ops
+    (the forward's dominant cost at large K) with MXU work. Evaluated in
+    tile-local coordinates (see _pixel_basis). Returns sigma plus the
+    [1, K] local means/conic rows the backward's moment trick reuses."""
+    ox = ((tile_idx % num_tiles_x) * tile_size).astype(jnp.float32)
+    oy = ((tile_idx // num_tiles_x) * tile_size).astype(jnp.float32)
+    half = tile_size * 0.5
+    mxl = means_ref[j, 0, :][None, :] - (ox + half)   # [1, K] local
+    myl = means_ref[j, 1, :][None, :] - (oy + half)
+    ca = conics_ref[j, 0, :][None, :]
+    cb = conics_ref[j, 1, :][None, :]
+    cc = conics_ref[j, 2, :][None, :]
+    camx_cbmy = ca * mxl + cb * myl
+    ccmy_cbmx = cc * myl + cb * mxl
+    coef = jnp.concatenate(
+        [
+            # 0.5*(mxl*(ca*mxl + cb*myl) + myl*(cc*myl + cb*mxl))
+            #   = 0.5*ca*mxl^2 + cb*mxl*myl + 0.5*cc*myl^2
+            0.5 * (mxl * camx_cbmy + myl * ccmy_cbmx),
+            -camx_cbmy,
+            -ccmy_cbmx,
+            0.5 * ca,
+            cb,
+            0.5 * cc,
+            jnp.zeros_like(ca),
+            jnp.zeros_like(ca),
+        ],
+        axis=0,
+    )                                                  # [8, K]
+    # f32 matmul regardless of the mixed-precision mode: alpha evaluation
+    # stays f32 by contract (inner dim 8 makes this matmul ~free)
+    sigma = jnp.dot(_pixel_basis(tile_size, p), coef,
+                    preferred_element_type=jnp.float32)
+    return sigma, (mxl, myl, ca, cb, cc)
+
+
 def _alphas(means_ref, conics_ref, opac_ref, tile_idx, num_tiles_x,
             tile_size, p, j=0):
     """Recompute alpha [P, K] + masks from channel-major per-tile blocks.
 
     ``j`` is the local tile index within the (tb-tile) block."""
-    px, py = _pixel_grid(tile_idx, num_tiles_x, tile_size, p)
-    mx = means_ref[j, 0, :][None, :]          # [1, K]
-    my = means_ref[j, 1, :][None, :]
-    ca = conics_ref[j, 0, :][None, :]
-    cb = conics_ref[j, 1, :][None, :]
-    cc = conics_ref[j, 2, :][None, :]
+    sigma, geom = _sigma_tile(
+        means_ref, conics_ref, tile_idx, j, num_tiles_x, tile_size, p
+    )
     op = opac_ref[j, 0, :][None, :]
-    dx = mx - px                               # [P, K]
-    dy = my - py
-    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     a_raw = op * jnp.exp(-sigma)
-    mask = (sigma >= 0.0) & (a_raw > ALPHA_EPS)
+    mask = (sigma >= _SIGMA_TOL) & (a_raw > ALPHA_EPS)
     alpha = jnp.where(mask, jnp.minimum(a_raw, ALPHA_MAX), 0.0)
-    return alpha, a_raw, mask, dx, dy
+    return alpha, a_raw, mask, sigma, geom
 
 
 # Early-termination threshold: a tile whose every pixel's remaining
@@ -141,7 +198,7 @@ def _fwd_tile_body(means_ref, conics_ref, colors_ref, opac_ref,
                    op_dtype):
     alpha, _, _, _, _ = _alphas(
         means_ref, conics_ref, opac_ref, t, num_tiles_x, tile_size, p, j
-    )
+    )  # [P, K]
     t_excl = _excl_cumprod(1.0 - alpha, op_dtype)
     w = alpha * t_excl                     # [P, K]
     # out[D, P] = colors[D, K] . w[P, K]^T  (contract K)
@@ -235,7 +292,7 @@ def _bwd_tile_body(means_ref, conics_ref, colors_ref, opac_ref,
                gout_ref, gacc_ref,
                dmeans_ref, dconics_ref, dcolors_ref, dopac_ref,
                t, j, num_tiles_x, tile_size, p, op_dtype):
-    alpha, a_raw, mask, dx, dy = _alphas(
+    alpha, a_raw, mask, sigma, (mxl, myl, ca, cb, cc) = _alphas(
         means_ref, conics_ref, opac_ref, t, num_tiles_x, tile_size, p, j
     )
     t_excl = _excl_cumprod(1.0 - alpha, op_dtype)
@@ -263,22 +320,34 @@ def _bwd_tile_body(means_ref, conics_ref, colors_ref, opac_ref,
     # clamp + mask: gradient only where alpha = a_raw (not clamped)
     live = mask & (a_raw <= ALPHA_MAX)
     da_raw = jnp.where(live, dalpha, 0.0)
-
     dsigma = -a_raw * da_raw               # [P, K]
-    op = opac_ref[j, 0, :][None, :]
-    exp_term = jnp.where(op > 0, a_raw / jnp.maximum(op, 1e-12), 0.0)
-    dopac_ref[j] = jnp.sum(exp_term * da_raw, axis=0)[None, :]
 
-    ca = conics_ref[j, 0, :][None, :]
-    cb = conics_ref[j, 1, :][None, :]
-    cc = conics_ref[j, 2, :][None, :]
-    dmx = jnp.sum(dsigma * (ca * dx + cb * dy), axis=0)   # [K]
-    dmy = jnp.sum(dsigma * (cc * dy + cb * dx), axis=0)
-    dmeans_ref[j] = jnp.stack([dmx, dmy], axis=0)         # [2, K]
-    dA = jnp.sum(0.5 * dx * dx * dsigma, axis=0)
-    dB = jnp.sum(dx * dy * dsigma, axis=0)
-    dC = jnp.sum(0.5 * dy * dy * dsigma, axis=0)
-    dconics_ref[j] = jnp.stack([dA, dB, dC], axis=0)      # [3, K]
+    # All [P, K] -> [K] gradient reductions through 6 pixel moments of
+    # dsigma — ONE MXU matmul (basis^T[8, P] @ dsigma[P, K]) replaces the
+    # dx/dy fields, ~20 elementwise [P, K] ops, and five separate VPU
+    # reductions of the direct formulation. In tile-local coordinates
+    # (dxl = mxl - px'):
+    #   dmx   = sum dsigma*(ca*dxl + cb*dyl)  -> ca*(mxl*S0 - Sx) + ...
+    #   dca   = sum 0.5*dxl^2*dsigma          -> 0.5*(mxl^2*S0 - 2*mxl*Sx + Sxx)
+    #   dopac = sum (a_raw/op)*da_raw = -S0/op  (a_raw*da_raw = -dsigma)
+    m = jax.lax.dot_general(
+        _pixel_basis(tile_size, p), dsigma,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # [8, K]
+    s0, sx, sy = m[0:1], m[1:2], m[2:3]    # [1, K] each
+    sxx, sxy, syy = m[3:4], m[4:5], m[5:6]
+    gx = mxl * s0 - sx                     # sum dxl*dsigma
+    gy = myl * s0 - sy
+    dmx = ca * gx + cb * gy
+    dmy = cc * gy + cb * gx
+    dmeans_ref[j] = jnp.concatenate([dmx, dmy], axis=0)   # [2, K]
+    d_ca = 0.5 * (mxl * mxl * s0 - 2.0 * mxl * sx + sxx)
+    d_cb = mxl * myl * s0 - mxl * sy - myl * sx + sxy
+    d_cc = 0.5 * (myl * myl * s0 - 2.0 * myl * sy + syy)
+    dconics_ref[j] = jnp.concatenate([d_ca, d_cb, d_cc], axis=0)  # [3, K]
+    op = opac_ref[j, 0, :][None, :]
+    dopac_ref[j] = jnp.where(op > 0, -s0 / jnp.maximum(op, 1e-12), 0.0)
 
 
 def _block(c, k, tb=1):
