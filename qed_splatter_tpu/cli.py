@@ -122,6 +122,33 @@ def cmd_train(argv) -> int:
     return 0
 
 
+def cmd_train_multi(argv) -> int:
+    """Train N scenes (BASELINE config #5): scenes are sharded across
+    processes, round-robin chunk-scheduled on each chip, and same-shaped
+    scenes share one compiled hot path. Usage:
+
+        qed train-multi --data sceneA --data sceneB [trainer flags]
+    """
+    from qed_splatter_tpu.engine.multi_scene import MultiSceneTrainer
+
+    scenes, rest = [], []
+    it = iter(argv)
+    for a in it:
+        if a == "--data":
+            scenes.append(next(it, None))
+        elif a.startswith("--data="):
+            scenes.append(a.split("=", 1)[1])
+        else:
+            rest.append(a)
+    if not scenes or any(s is None for s in scenes):
+        print("error: at least one --data PATH is required",
+              file=sys.stderr)
+        return 2
+    cfg = build_trainer_config(rest)
+    MultiSceneTrainer(cfg, scenes).train()
+    return 0
+
+
 def cmd_eval(argv) -> int:
     from qed_splatter_tpu.engine.trainer import Trainer
 
@@ -397,6 +424,7 @@ def cmd_eval_pc(argv) -> int:
 
 COMMANDS = {
     "train": cmd_train,
+    "train-multi": cmd_train_multi,
     "eval": cmd_eval,
     "init-pc": cmd_init_pc,
     "export": cmd_export,

@@ -15,6 +15,7 @@ replacement per epoch) — the permutation is drawn host-side and passed in.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Dict, Optional
 
 import jax
@@ -65,6 +66,17 @@ class DeviceDataset:
                    for v in self.data.values())
 
 
+# The jitted scan runner is dataset-INDEPENDENT (the image cache enters as
+# an argument; only its shapes matter), so it is memoized here on the
+# static configuration: N same-shaped scenes trained in one process
+# (engine.multi_scene) share ONE compiled program instead of recompiling
+# the hot path per scene. Keyed by the optimizer OBJECT identity (configs
+# hash; optax transforms don't) — the cache keeps a strong reference so a
+# recycled id() can never alias a dead optimizer — and LRU-bounded.
+_RUNNER_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_RUNNER_CACHE_MAX = 32
+
+
 def make_scan_steps(
     cfg: ModelConfig,
     optims: GroupOptimizers,
@@ -73,13 +85,42 @@ def make_scan_steps(
     need_absgrad: bool = True,
     camera_opt_on: Optional[bool] = None,
 ):
-    """Jitted runner: (state, perm [num_steps], rng) -> (state, metrics).
+    """Runner: (state, perm [num_steps], rng) -> (state, metrics).
 
     metrics leaves are [num_steps]-stacked scalars.
     """
+    jitted = _scan_runner(
+        cfg, optims, dataset.width, dataset.height, dataset.has_depth,
+        dataset.has_mask, num_steps, need_absgrad, camera_opt_on,
+    )
+
+    def call(state: TrainState, perm: jnp.ndarray, rng: jax.Array):
+        return jitted(state, perm, rng, dataset.data)
+
+    call._jitted = jitted  # exposed for payload-regression tests
+    return call
+
+
+def _scan_runner(
+    cfg: ModelConfig,
+    optims: GroupOptimizers,
+    width: int,
+    height: int,
+    has_depth: bool,
+    has_mask: bool,
+    num_steps: int,
+    need_absgrad: bool,
+    camera_opt_on: Optional[bool],
+):
+    key = (id(optims), cfg, width, height, has_depth, has_mask,
+           num_steps, need_absgrad, camera_opt_on)
+    hit = _RUNNER_CACHE.get(key)
+    if hit is not None and hit[0] is optims:
+        _RUNNER_CACHE.move_to_end(key)
+        return hit[1]
     inner = make_train_step(
-        cfg, optims, dataset.width, dataset.height,
-        has_depth=dataset.has_depth, has_mask=dataset.has_mask,
+        cfg, optims, width, height,
+        has_depth=has_depth, has_mask=has_mask,
         camera_opt_on=camera_opt_on, need_absgrad=need_absgrad,
     ).__wrapped__
 
@@ -100,9 +141,9 @@ def make_scan_steps(
                 "cam_idx": data["cam_idx"][sel],
                 "rgb": data["rgb_u8"][sel].astype(jnp.float32) / 255.0,
             }
-            if dataset.has_depth:
+            if has_depth:
                 batch["depth"] = data["depth"][sel]
-            if dataset.has_mask:
+            if has_mask:
                 batch["mask"] = data["mask"][sel]
             st, metrics = inner(st, batch, sub)
             light = {
@@ -120,9 +161,7 @@ def make_scan_steps(
         return state, metrics
 
     jitted = jax.jit(run, donate_argnums=(0,))
-
-    def call(state: TrainState, perm: jnp.ndarray, rng: jax.Array):
-        return jitted(state, perm, rng, dataset.data)
-
-    call._jitted = jitted  # exposed for payload-regression tests
-    return call
+    _RUNNER_CACHE[key] = (optims, jitted)
+    while len(_RUNNER_CACHE) > _RUNNER_CACHE_MAX:
+        _RUNNER_CACHE.popitem(last=False)
+    return jitted

@@ -76,7 +76,8 @@ class TrainingDiverged(RuntimeError):
 
 class Trainer:
     def __init__(self, config: TrainerConfig,
-                 datamanager: Optional[FullImageDatamanager] = None):
+                 datamanager: Optional[FullImageDatamanager] = None,
+                 optims: Optional[GroupOptimizers] = None):
         self.config = config
         self.cfg = config.model
         if config.mixed_precision and not self.cfg.mixed_precision:
@@ -106,7 +107,9 @@ class Trainer:
             self.mesh = make_mesh(
                 config.num_data_shards, config.num_model_shards
             )
-        self.optims = GroupOptimizers(config.optimizers)
+        # a shared GroupOptimizers across same-config trainers lets the
+        # scan-runner compile cache hit across scenes (engine.multi_scene)
+        self.optims = optims or GroupOptimizers(config.optimizers)
         out_root = Path(config.output_dir)
         name = config.experiment_name or "qed-splatter"
         self.run_dir = out_root / name
@@ -721,12 +724,31 @@ class Trainer:
         total = per * self.dm.num_train * 2  # + downscale buckets
         return total <= self.config.max_device_cache_bytes
 
-    def train(self, max_steps: Optional[int] = None) -> TrainState:
+    def train(self, max_steps: Optional[int] = None,
+              finalize: bool = True) -> TrainState:
+        """Train to ``max_steps`` (default: the configured budget).
+        ``finalize=False`` skips the end-of-training checkpoint + PLY
+        export — for callers that interleave partial budgets across
+        scenes (engine.multi_scene) and finalize once at the end."""
         if self._use_scan():
-            return self._train_scan(max_steps)
-        return self._train_per_step(max_steps)
+            return self._train_scan(max_steps, finalize)
+        return self._train_per_step(max_steps, finalize)
 
-    def _train_scan(self, max_steps: Optional[int] = None) -> TrainState:
+    def finalize(self, total: Optional[int] = None) -> None:
+        """End-of-training checkpoint + splat export."""
+        ckpt.save_checkpoint(
+            self.run_dir / "ckpts", self.state,
+            total if total is not None else int(self.state.step),
+            dataparser_transform=self.dm.scene.transform_matrix,
+            dataparser_scale=self.dm.scene.scale_factor,
+            model_config=self.cfg,
+            k_by_d=self._k_by_d,
+        )
+        meta = ckpt.checkpoint_meta(self.run_dir / "ckpts")
+        ckpt.export_ply(self.run_dir / "splat.ply", self.state.params, meta)
+
+    def _train_scan(self, max_steps: Optional[int] = None,
+                    do_finalize: bool = True) -> TrainState:
         """Multi-step scan dispatch: one device call per chunk of steps,
         sampling cameras from a device-resident uint8 image cache
         (engine.scan_runner) — amortizes host dispatch overhead that
@@ -795,18 +817,12 @@ class Trainer:
                 f"Trained {done} steps in {wall:.1f}s "
                 f"({done / max(wall, 1e-9):.2f} iters/s, chunk={chunk})"
             )
-        ckpt.save_checkpoint(
-            self.run_dir / "ckpts", self.state, total,
-            dataparser_transform=self.dm.scene.transform_matrix,
-            dataparser_scale=self.dm.scene.scale_factor,
-            model_config=self.cfg,
-            k_by_d=self._k_by_d,
-        )
-        meta = ckpt.checkpoint_meta(self.run_dir / "ckpts")
-        ckpt.export_ply(self.run_dir / "splat.ply", self.state.params, meta)
+        if do_finalize:
+            self.finalize(total)
         return self.state
 
-    def _train_per_step(self, max_steps: Optional[int] = None) -> TrainState:
+    def _train_per_step(self, max_steps: Optional[int] = None,
+                        do_finalize: bool = True) -> TrainState:
         cfgt = self.config
         total = max_steps or cfgt.max_num_iterations
         key = jax.random.PRNGKey(cfgt.seed)
@@ -876,15 +892,8 @@ class Trainer:
                 f"Trained {done} steps in {wall:.1f}s "
                 f"({done / max(wall, 1e-9):.2f} iters/s)"
             )
-        ckpt.save_checkpoint(
-            self.run_dir / "ckpts", self.state, total,
-            dataparser_transform=self.dm.scene.transform_matrix,
-            dataparser_scale=self.dm.scene.scale_factor,
-            model_config=self.cfg,
-            k_by_d=self._k_by_d,
-        )
-        meta = ckpt.checkpoint_meta(self.run_dir / "ckpts")
-        ckpt.export_ply(self.run_dir / "splat.ply", self.state.params, meta)
+        if do_finalize:
+            self.finalize(total)
         return self.state
 
     # -------------------------------------------------------------- eval
