@@ -7,6 +7,11 @@ fori-loop device-truth methodology as bench.py. Prints one JSON dict.
 Run on the real TPU with the chip otherwise idle.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import json
 import sys
 

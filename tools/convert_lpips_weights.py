@@ -20,6 +20,11 @@ heads under the key names ``ops/lpips.py`` expects (``features.{i}.weight``
 / ``.bias``, ``lin{k}...weight``); the loader auto-detects the backbone.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 
 

@@ -16,6 +16,11 @@ twice at the 1,787,904 -> 3,575,808 growth (v5e, 16 GB HBM):
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import sys
 

@@ -16,6 +16,8 @@ import json
 import sys
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 
@@ -57,12 +59,21 @@ def main() -> int:
     dm = FullImageDatamanager(DataConfig(data=ns.data))
     rgbm = RGBMetrics()
     rows = []
+    render_jit = {}  # one compile per distinct eval resolution
     for item in dm.eval_items():
         cam = item["camera"]
-        out = render(
+        wh = (cam.width, cam.height)
+        if wh not in render_jit:
+            import jax
+
+            render_jit[wh] = jax.jit(
+                lambda p, c2w, K, s, w=cam.width, h=cam.height: render(
+                    p, c2w, K, w, h, mc, step=s, train=False
+                )
+            )
+        out = render_jit[wh](
             state.params, jnp.asarray(cam.c2w),
-            jnp.asarray(cam.intrinsics_matrix()), cam.width, cam.height,
-            mc, step=state.step, train=False,
+            jnp.asarray(cam.intrinsics_matrix()), state.step,
         )
         gt = jnp.asarray(np.asarray(item["image"], np.float32) / 255.0)
         gt_depth = (
