@@ -347,13 +347,43 @@ class Trainer:
             - get("alias_size_in_bytes") + get("temp_size_in_bytes")
         )
 
+    # nominal HBM by device kind — the fallback when the backend exposes no
+    # memory_stats (observed: the tunneled 'axon' TPU platform returns
+    # None, which left the growth gate blind and let a growth crash the
+    # worker). QED_HBM_BYTES overrides both (e.g. with the measured usable
+    # limit from tools/measure_hbm.py, which is what actually matters on a
+    # shared/tunneled chip).
+    _HBM_BY_KIND = (
+        ("v5 lite", 16e9), ("v5e", 16e9), ("v5p", 95e9),
+        ("v6 lite", 32e9), ("v6e", 32e9),
+        ("v4", 32e9), ("v3", 16e9), ("v2", 8e9),
+    )
+
     @staticmethod
     def _device_memory_stats() -> dict:
-        """HBM accounting of device 0 ({} where the backend has none)."""
+        """HBM accounting of device 0. Falls back to QED_HBM_BYTES or a
+        device-kind nominal limit when the backend has no memory_stats
+        ({} only when nothing at all is known, e.g. CPU)."""
+        import os
+
+        dev = None
+        stats: dict = {}
         try:
-            return jax.local_devices()[0].memory_stats() or {}
+            dev = jax.local_devices()[0]
+            stats = dict(dev.memory_stats() or {})
         except Exception:
-            return {}
+            pass
+        if not stats.get("bytes_limit"):
+            env = os.environ.get("QED_HBM_BYTES")
+            if env:
+                stats["bytes_limit"] = int(float(env))
+            elif dev is not None and getattr(dev, "platform", "") == "tpu":
+                kind = getattr(dev, "device_kind", "").lower()
+                for sub, val in Trainer._HBM_BY_KIND:
+                    if sub in kind:
+                        stats["bytes_limit"] = int(val)
+                        break
+        return stats
 
     def _probe_grown_compiles(self, cur: int, max_hw: int,
                               new_cap: int) -> Tuple[bool, str]:
@@ -421,18 +451,29 @@ class Trainer:
         peaks = [p for p in peaks if p]
         mstats = self._device_memory_stats()
         limit = mstats.get("bytes_limit")
+        pk_msg = f"exe peaks {[round(p / 1e9, 2) for p in peaks]} GB"
         if not peaks or not limit:
-            return True, "no device memory accounting available"
+            return True, f"no device memory limit known; {pk_msg}"
         # residents the step does not list as arguments (eval renderer
         # consts, other resolution buckets' image caches, ...)
-        other = max(int(mstats.get("bytes_in_use", 0)) - resident_args, 0)
+        if mstats.get("bytes_in_use"):
+            other = max(int(mstats["bytes_in_use"]) - resident_args, 0)
+        else:
+            # no live accounting (limit came from QED_HBM_BYTES or the
+            # device-kind table): at least count the device image caches
+            # of the OTHER resolution buckets (the current bucket's cache
+            # is an executable argument already)
+            other = sum(
+                v.nbytes() for kk, v in self._step_fns.items()
+                if isinstance(kk, tuple) and kk and kk[0] == "devds"
+                and hasattr(v, "nbytes")
+            )
         need = other + max(peaks)
         budget = self.cfg.grow_memory_fraction * limit
-        msg = (f"exe peaks {[round(p / 1e9, 2) for p in peaks]} GB + "
-               f"{other / 1e9:.2f} GB other residents = projected "
-               f"{need / 1e9:.2f} GB vs budget {budget / 1e9:.2f} GB "
-               f"({self.cfg.grow_memory_fraction:.2f} x {limit / 1e9:.2f} "
-               f"GB HBM)")
+        msg = (f"{pk_msg} + {other / 1e9:.2f} GB other residents = "
+               f"projected {need / 1e9:.2f} GB vs budget "
+               f"{budget / 1e9:.2f} GB ({self.cfg.grow_memory_fraction:.2f}"
+               f" x {limit / 1e9:.2f} GB HBM)")
         return need <= budget, msg
 
     def _maybe_grow(self, cur: int = 0, max_hw: int = 0) -> None:
