@@ -668,7 +668,7 @@ def composite_tiles_chunked(g_means, g_conics, g_colors, g_opac,
     intersection counts from the binning) is given, on the chunk holding
     only padding — most tiles sit far below the adaptive K cap."""
     k = g_colors.shape[-1]
-    if k <= K_CHUNK:
+    if k <= K_CHUNK and tile_counts is None:
         return composite_tiles_pallas(
             g_means, g_conics, g_colors, g_opac, num_tiles_x, tile_size,
             interpret, mixed_precision,
@@ -682,8 +682,15 @@ def composite_tiles_chunked(g_means, g_conics, g_colors, g_opac,
         parts = (g_means[..., s:e], g_conics[..., s:e], g_colors[..., s:e],
                  g_opac[..., s:e])
         if out is None:
-            out, acc = composite_tiles_pallas(
-                *parts, num_tiles_x, tile_size, interpret, mixed_precision,
+            # the first chunk is count-gated too (chunk_start=0 -> a tile
+            # with NO intersections skips compositing entirely — empty sky
+            # tiles are common in real scenes); acc_prev starts at zero
+            t = g_colors.shape[0]
+            p = tile_size * tile_size
+            out, acc = composite_tiles_pallas_skip(
+                *parts, jnp.zeros((t, 1, p), jnp.float32),
+                jax.lax.stop_gradient(tile_counts), num_tiles_x, 0,
+                tile_size, interpret, mixed_precision,
             )
         else:
             # later chunks carry the accumulated alpha so saturated tiles
