@@ -4,14 +4,13 @@ The hot path of the per-iteration solve (SURVEY D5; BASELINE.json north
 star "Pallas tile-based rasterizer ... and the analytic backward pass").
 Replaces the XLA compositing in ops.rasterize for the [T, K] -> image stage:
 
-- **forward**: one grid instance per 16x16 tile; the [P, K] sigma field
-  is ONE MXU matmul (sigma is quadratic in pixel coordinates:
-  basis[P, 8] @ coef[8, K] in tile-local coordinates — see _sigma_tile),
-  exclusive transmittance via a log-space triangular-matmul cumulative
-  sum (MXU — cumprod has no TPU lowering and a serial scan would waste
-  the MXU), weighted color reduction as a [D, K] x [K, P] MXU matmul.
-  The kernel is VPU-bound at large K; both matmul tricks exist to move
-  [P, K] elementwise work onto the otherwise-idle MXU.
+- **forward**: one grid instance per 16x16 tile; all K depth-ordered
+  gaussians' alphas for all 256 pixels evaluated in VMEM (direct
+  per-pixel sigma — an MXU quadratic-form variant was reverted, see
+  _alphas), exclusive transmittance via a log-space triangular-matmul
+  cumulative sum (MXU — cumprod has no TPU lowering and a serial scan
+  would waste the MXU), weighted color reduction as a [D, K] x [K, P]
+  MXU matmul.
 - **backward**: custom VJP with gsplat-equivalent analytic gradients,
   recomputing alphas in-kernel instead of saving [T, P, K] residuals
   (the XLA-autodiff version's ~1 GB-per-tensor HBM traffic): the
@@ -122,67 +121,44 @@ def _pixel_basis(tile_size: int, p: int):
     )
 
 
-# Expanded-form sigma is the same quadratic evaluated with reassociated
-# f32 ops; allow ~1 ulp of drift on the PSD >= 0 test so a pixel at a
-# gaussian center cannot flip the mask on roundoff.
-_SIGMA_TOL = -1e-6
+def _alphas(means_ref, conics_ref, opac_ref, tile_idx, num_tiles_x,
+            tile_size, p, j=0):
+    """Recompute alpha [P, K] + masks from channel-major per-tile blocks.
 
+    ``j`` is the local tile index within the (tb-tile) block.
 
-def _sigma_tile(means_ref, conics_ref, tile_idx, j, num_tiles_x,
-                tile_size, p):
-    """sigma [P, K] for one tile as ONE MXU matmul (plus [1, K] setup).
+    sigma is evaluated DIRECTLY per pixel (dx = mx - px), in tile-local
+    coordinates. An MXU formulation (sigma is quadratic in pixel coords,
+    so the field is basis[P, 8] @ coef[8, K]) was tried and reverted for
+    the forward: anisotropic needle splats crossing a tile make the
+    expanded coefficients (0.5*ca*mxl^2 + cb*mxl*myl + 0.5*cc*myl^2,
+    each ~1e4) cancel catastrophically to sigma ~ 0, and near-saturated
+    alphas amplify the ~1e-4 sigma error through 1/(1 - alpha) into
+    ~7e-2 pixel outliers vs the oracle (measured; direct form keeps the
+    full-render max diff at ~1e-3). The backward's moment-matmul
+    reduction (see _bwd_tile_body) is unaffected — it is an exact
+    rewrite of the gradient sums, not of sigma.
 
-    sigma(px, py) = 0.5*(ca*dx^2 + cc*dy^2) + cb*dx*dy with dx = mx - px
-    is quadratic in the pixel coordinates, so the whole [P, K] field is
-    basis[P, 8] @ coef[8, K] — replacing ~10 [P, K] VPU elementwise ops
-    (the forward's dominant cost at large K) with MXU work. Evaluated in
-    tile-local coordinates (see _pixel_basis). Returns sigma plus the
-    [1, K] local means/conic rows the backward's moment trick reuses."""
+    Returns the [1, K] tile-local mean/conic rows for that reduction."""
     ox = ((tile_idx % num_tiles_x) * tile_size).astype(jnp.float32)
     oy = ((tile_idx // num_tiles_x) * tile_size).astype(jnp.float32)
     half = tile_size * 0.5
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    pxl = (pix % tile_size).astype(jnp.float32) + (0.5 - half)  # [P, 1]
+    pyl = (pix // tile_size).astype(jnp.float32) + (0.5 - half)
     mxl = means_ref[j, 0, :][None, :] - (ox + half)   # [1, K] local
     myl = means_ref[j, 1, :][None, :] - (oy + half)
     ca = conics_ref[j, 0, :][None, :]
     cb = conics_ref[j, 1, :][None, :]
     cc = conics_ref[j, 2, :][None, :]
-    camx_cbmy = ca * mxl + cb * myl
-    ccmy_cbmx = cc * myl + cb * mxl
-    coef = jnp.concatenate(
-        [
-            # 0.5*(mxl*(ca*mxl + cb*myl) + myl*(cc*myl + cb*mxl))
-            #   = 0.5*ca*mxl^2 + cb*mxl*myl + 0.5*cc*myl^2
-            0.5 * (mxl * camx_cbmy + myl * ccmy_cbmx),
-            -camx_cbmy,
-            -ccmy_cbmx,
-            0.5 * ca,
-            cb,
-            0.5 * cc,
-            jnp.zeros_like(ca),
-            jnp.zeros_like(ca),
-        ],
-        axis=0,
-    )                                                  # [8, K]
-    # f32 matmul regardless of the mixed-precision mode: alpha evaluation
-    # stays f32 by contract (inner dim 8 makes this matmul ~free)
-    sigma = jnp.dot(_pixel_basis(tile_size, p), coef,
-                    preferred_element_type=jnp.float32)
-    return sigma, (mxl, myl, ca, cb, cc)
-
-
-def _alphas(means_ref, conics_ref, opac_ref, tile_idx, num_tiles_x,
-            tile_size, p, j=0):
-    """Recompute alpha [P, K] + masks from channel-major per-tile blocks.
-
-    ``j`` is the local tile index within the (tb-tile) block."""
-    sigma, geom = _sigma_tile(
-        means_ref, conics_ref, tile_idx, j, num_tiles_x, tile_size, p
-    )
     op = opac_ref[j, 0, :][None, :]
+    dx = mxl - pxl                                    # [P, K]
+    dy = myl - pyl
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     a_raw = op * jnp.exp(-sigma)
-    mask = (sigma >= _SIGMA_TOL) & (a_raw > ALPHA_EPS)
+    mask = (sigma >= 0.0) & (a_raw > ALPHA_EPS)
     alpha = jnp.where(mask, jnp.minimum(a_raw, ALPHA_MAX), 0.0)
-    return alpha, a_raw, mask, sigma, geom
+    return alpha, a_raw, mask, sigma, (mxl, myl, ca, cb, cc)
 
 
 # Early-termination threshold: a tile whose every pixel's remaining
@@ -668,7 +644,7 @@ def composite_tiles_chunked(g_means, g_conics, g_colors, g_opac,
     intersection counts from the binning) is given, on the chunk holding
     only padding — most tiles sit far below the adaptive K cap."""
     k = g_colors.shape[-1]
-    if k <= K_CHUNK and tile_counts is None:
+    if k <= K_CHUNK:
         return composite_tiles_pallas(
             g_means, g_conics, g_colors, g_opac, num_tiles_x, tile_size,
             interpret, mixed_precision,
@@ -682,15 +658,14 @@ def composite_tiles_chunked(g_means, g_conics, g_colors, g_opac,
         parts = (g_means[..., s:e], g_conics[..., s:e], g_colors[..., s:e],
                  g_opac[..., s:e])
         if out is None:
-            # the first chunk is count-gated too (chunk_start=0 -> a tile
-            # with NO intersections skips compositing entirely — empty sky
-            # tiles are common in real scenes); acc_prev starts at zero
-            t = g_colors.shape[0]
-            p = tile_size * tile_size
-            out, acc = composite_tiles_pallas_skip(
-                *parts, jnp.zeros((t, 1, p), jnp.float32),
-                jax.lax.stop_gradient(tile_counts), num_tiles_x, 0,
-                tile_size, interpret, mixed_precision,
+            # first chunk stays on the PLAIN kernel: routing it through the
+            # skip kernel (count-gated, chunk_start=0) was measured 5x
+            # slower on the dense bench row (5.20 -> 1.05 it/s at K=1024)
+            # — the scalar-prefetch/predicated variant carries a large
+            # per-tile overhead when nothing skips. See chunk 2+ below for
+            # where skipping pays.
+            out, acc = composite_tiles_pallas(
+                *parts, num_tiles_x, tile_size, interpret, mixed_precision,
             )
         else:
             # later chunks carry the accumulated alpha so saturated tiles

@@ -421,36 +421,3 @@ def test_chunked_early_termination_skips_saturated_tiles():
         tile_counts=jnp.asarray([k, K_CHUNK - 1], jnp.int32),
     )
     assert np.isfinite(np.asarray(out2)).all()
-
-
-def test_first_chunk_count_gated_for_empty_tiles():
-    """With tile_counts given, a tile with ZERO intersections skips even
-    the FIRST chunk (empty sky tiles); observable via NaN payloads in
-    chunk 1. A tile with nonzero count still composites chunk 1."""
-    import numpy as np
-
-    from qed_splatter_tpu.ops.rasterize_pallas import composite_tiles_chunked
-
-    t, d, k = 2, 3, 256
-    ts = 16
-    g_means = np.full((t, 2, k), 8.0, np.float32)
-    g_conics = np.full((t, 3, k), np.nan, np.float32)  # poison everything
-    g_conics[:, 1] = 0.0
-    g_colors = np.full((t, d, k), np.nan, np.float32)
-    g_opac = np.full((t, 1, k), 0.5, np.float32)
-    # tile 1 has one clean splat up front
-    g_conics[1, :, 0] = (1e-6, 0.0, 1e-6)
-    g_colors[1, :, 0] = (0.5, 0.2, 0.1)
-
-    out, acc = composite_tiles_chunked(
-        jnp.asarray(g_means), jnp.asarray(g_conics), jnp.asarray(g_colors),
-        jnp.asarray(g_opac), num_tiles_x=2, tile_size=ts, interpret=True,
-        mixed_precision=False,
-        tile_counts=jnp.asarray([0, 1], jnp.int32),
-    )
-    out = np.asarray(out)
-    # empty tile: chunk 1 skipped entirely, poison never touched
-    assert np.isfinite(out[0]).all() and np.allclose(out[0], 0.0)
-    assert np.allclose(np.asarray(acc)[0], 0.0)
-    # non-empty tile: chunk 1 ran (its poisoned tail slots leak NaN)
-    assert np.isnan(out[1]).any()
