@@ -115,6 +115,12 @@ def measure(width, height, capacity, n_alive, k_cap, mixed_precision,
 def main() -> None:
     import jax
 
+    from qed_splatter_tpu.utils.chiplock import acquire_chip_lock
+
+    # REFUSE to share the chip: a second client hangs silently on the
+    # first worker crash (round-3 finding, now enforced in code)
+    acquire_chip_lock("bench.py")
+
     width, height = 1296, 840
 
     iters, finite = measure(width, height, 131_072, 80_000, 256, False)

@@ -112,14 +112,74 @@ def build_trainer_config(argv) -> TrainerConfig:
 
 def cmd_train(argv) -> int:
     from qed_splatter_tpu.engine.trainer import Trainer
+    from qed_splatter_tpu.utils.chiplock import acquire_chip_lock
 
     cfg = build_trainer_config(argv)
     if not cfg.data.data:
         print("error: --data PATH is required", file=sys.stderr)
         return 2
+    if cfg.supervise:
+        return _supervise_train(argv, cfg)
+    acquire_chip_lock("qed train")
     trainer = Trainer(cfg)
     trainer.train()
     return 0
+
+
+def _supervise_train(argv, cfg) -> int:
+    """Crash-supervised training: run `qed train` as a child process; on a
+    crash (TPU worker kill = hard child death), restart it resuming from
+    the run's latest checkpoint. The child's attempt journal
+    (engine.journal) witnesses which executable configuration was in
+    flight, so the restart refuses exactly the killing configuration —
+    growth/K escalation can fail, but the RUN cannot die. Restarts are
+    bounded by --max-restarts; a child that makes no checkpoint progress
+    between two consecutive crashes stops the loop (config errors must not
+    spin)."""
+    import subprocess
+    from pathlib import Path
+
+    from qed_splatter_tpu.engine import checkpoint as ckpt
+
+    run_dir = Path(cfg.output_dir) / (cfg.experiment_name or "qed-splatter")
+    ckpts = run_dir / "ckpts"
+    restarts = 0
+    last_ckpt = None
+    # the child must not supervise itself (--supervise/--no-supervise are a
+    # mutually exclusive pair, so strip rather than append)
+    base = [a for a in argv if a not in ("--supervise", "--no-supervise")]
+    while True:
+        child_args = [
+            sys.executable, "-m", "qed_splatter_tpu.cli", "train",
+            *base, "--no-supervise",
+        ]
+        latest = ckpt.latest_checkpoint(ckpts) if ckpts.exists() else None
+        if latest is not None:
+            # appended last: argparse keeps the final occurrence, so this
+            # supersedes any user-passed --load-dir once OUR run has ckpts
+            child_args += ["--load-dir", str(ckpts)]
+        rc = subprocess.call(child_args)
+        if rc == 0:
+            if restarts:
+                print(f"SUPERVISOR: run completed after {restarts} "
+                      f"restart(s)")
+            return 0
+        cur_ckpt = ckpt.latest_checkpoint(ckpts) if ckpts.exists() else None
+        made_progress = cur_ckpt != last_ckpt
+        last_ckpt = cur_ckpt
+        restarts += 1
+        if restarts > cfg.max_restarts:
+            print(f"SUPERVISOR: giving up after {cfg.max_restarts} "
+                  f"restarts (last rc={rc})", file=sys.stderr)
+            return rc
+        if not made_progress and restarts > 1:
+            print("SUPERVISOR: two crashes with no checkpoint progress — "
+                  f"not a transient failure, stopping (rc={rc})",
+                  file=sys.stderr)
+            return rc
+        print(f"SUPERVISOR: training process exited rc={rc}; restart "
+              f"{restarts}/{cfg.max_restarts}"
+              + (f" resuming from {cur_ckpt}" if cur_ckpt else ""))
 
 
 def cmd_train_multi(argv) -> int:
@@ -145,6 +205,9 @@ def cmd_train_multi(argv) -> int:
               file=sys.stderr)
         return 2
     cfg = build_trainer_config(rest)
+    from qed_splatter_tpu.utils.chiplock import acquire_chip_lock
+
+    acquire_chip_lock("qed train-multi")
     MultiSceneTrainer(cfg, scenes).train()
     return 0
 
@@ -434,7 +497,31 @@ COMMANDS = {
 }
 
 
+def _honor_jax_platforms_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu qed train ...`` actually run on CPU.
+
+    This container's sitecustomize registers the tunneled-TPU PJRT plugin
+    at interpreter boot and the registration wins over the env var — a
+    subprocess launched with ``JAX_PLATFORMS=cpu`` still lands on the TPU
+    (and, worse, silently contends for the single-client chip). Mirroring
+    the env var into jax.config before any backend touch restores the
+    documented contract for every CLI entry point (including supervisor
+    children).
+    """
+    import os
+
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plats)
+        except Exception:
+            pass  # backend already initialized: too late, leave it
+
+
 def main(argv: Optional[list] = None) -> int:
+    _honor_jax_platforms_env()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: qed <command> [flags]\ncommands: "
@@ -450,11 +537,13 @@ def main(argv: Optional[list] = None) -> int:
 
 def _train_entry() -> int:
     """Console-script entry mirroring ``ns-train qed-splatter``."""
+    _honor_jax_platforms_env()
     return cmd_train(sys.argv[1:])
 
 
 def _init_pc_entry() -> int:
     """Console-script entry mirroring ``qed-init-pc``."""
+    _honor_jax_platforms_env()
     return cmd_init_pc(sys.argv[1:])
 
 

@@ -190,6 +190,14 @@ class TrainerConfig:
     on_divergence: Literal["halt", "rollback", "ignore"] = "rollback"
     max_rollbacks: int = 3
     divergence_freeze_steps: int = 500
+    # --- crash supervision (no reference counterpart: torch/CUDA OOMs are
+    # recoverable exceptions; a tunneled-TPU OOM kills the worker and every
+    # device buffer — only a process restart recovers) ---
+    # supervise=True wraps training in a restart loop: on a child crash the
+    # run resumes from its last checkpoint with the crashed executable
+    # configuration refused by the attempt journal (engine.journal).
+    supervise: bool = False
+    max_restarts: int = 5
 
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)

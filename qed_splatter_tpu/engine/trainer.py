@@ -129,13 +129,28 @@ class Trainer:
             self.viewer.start()
         self._step_fns: Dict[Tuple, object] = {}
         self._sharded_fns: Dict[Tuple, object] = {}
-        # memory-gated capacity growth (see _probe_grown_compiles)
+        # memory-gated capacity growth (see _probe_grown_compiles).
+        # Deterministic refusals (budget overrun, crash journal) are
+        # permanent; transient compile failures (e.g. a remote-compile
+        # HTTP 500) only defer the retry to a later refine cadence.
         self._grow_refused: set = set()
+        self._grow_retry_at: Dict[int, int] = {}
         self._refine_exec: Dict[Tuple, object] = {}
         # divergence containment (TrainerConfig.on_divergence)
         self._rollbacks = 0
         self._densify_frozen_until = 0
         self._good_ckpt: Optional[Tuple[int, int]] = None  # (step, capacity)
+        # crash-witness journal (engine.journal): every NEW executable
+        # configuration is recorded before its first dispatch and marked ok
+        # after; an unmatched record on startup is a crash witness and the
+        # killing configuration is refused by _apply_crash_policy
+        from qed_splatter_tpu.engine.journal import AttemptJournal
+
+        self._journal = AttemptJournal(self.run_dir / "attempt_journal.jsonl")
+        self._witnessed: set = set()  # configs whose first dispatch ok'd
+        # per-resolution-bucket K ceilings learned from crashes
+        self._k_crash_cap: Dict[int, int] = {}
+        self._eval_k_cap: Optional[int] = None
         # adaptive per-tile K, tracked PER resolution bucket: the coarse
         # phase (few tiles, many gaussians) saturates K long before full
         # resolution does; a global K would carry the coarse phase's
@@ -153,6 +168,23 @@ class Trainer:
             donate_argnums=(0, 1),
         )
         self.state = self._setup_state()
+        # Sampling state persists ACROSS train() calls and is derived from
+        # the resume step, not reset per call: reseeding in train() made
+        # every multi-scene turn (and every checkpoint resume) replay the
+        # identical permutation prefix — scenes with more training views
+        # than one turn's steps silently never sampled the tail views.
+        self._reseed_sampling()
+        self._apply_crash_policy()
+
+    def _reseed_sampling(self) -> None:
+        """(Re)derive the jax key and the epoch-permutation queue from
+        (seed, current step) — called at setup and after rollbacks."""
+        step = int(self.state.step)
+        self._key = jax.random.fold_in(
+            jax.random.PRNGKey(self.config.seed), step
+        )
+        self._np_rng = np.random.default_rng((self.config.seed, step))
+        self._queue: list = []
 
     # ------------------------------------------------------------ setup
 
@@ -214,6 +246,115 @@ class Trainer:
                 self._k_by_d[int(dd)] = int(kk)
             print(f"Resumed from {latest} at step {int(state.step)}")
         return state
+
+    # ------------------------------------------------- crash-proof dispatch
+
+    def _apply_crash_policy(self) -> None:
+        """Refuse, by execution evidence, the configuration that killed a
+        previous run. The memory gate's prediction demonstrably cannot
+        cover every (capacity, bucket, K) the adaptive schedule visits —
+        round 3's 1080p run died at a K-growth executable the capacity
+        gate never probed — so the unmatched journal attempt IS the
+        measurement: crashed capacity growth -> that capacity is refused
+        permanently; crashed K growth -> that bucket's K is capped below
+        the killing value; crashed eval render -> eval K capped. Re-applied
+        idempotently from ALL unmatched journal attempts on every startup —
+        a config that killed the worker once stays refused forever."""
+        for c in self._journal.crashed():
+            self._apply_one_crash(c)
+
+    def _apply_one_crash(self, c: Dict) -> None:
+        cap_now = int(self.state.params.capacity)
+        kind = c.get("kind", "?")
+        if int(c.get("capacity", 0)) > cap_now:
+            bad = int(c["capacity"])
+            self._grow_refused.add(bad)
+            print(
+                f"CRASH POLICY: a previous run died executing {kind} at "
+                f"capacity {bad} (> restored {cap_now}); refusing growth "
+                f"to {bad} for this run (journal {self._journal.path})"
+            )
+        elif kind == "step" and "d" in c and "k" in c:
+            d, k = int(c["d"]), int(c["k"])
+            capped = max(k // 2, 128)
+            self._k_crash_cap[d] = capped
+            if self._k_by_d.get(d, 0) >= k:
+                self._k_by_d[d] = capped
+            print(
+                f"CRASH POLICY: a previous run died executing the train "
+                f"step at 1/{d} res with K={k}; capping this bucket's "
+                f"max_per_tile at {capped} (quality may be truncation-"
+                f"bounded — check tile_overflow)"
+            )
+        elif kind == "eval" and "k" in c:
+            self._eval_k_cap = max(int(c["k"]) // 2, 128)
+            print(
+                f"CRASH POLICY: a previous run died in an eval render at "
+                f"K={c['k']}; capping eval K at {self._eval_k_cap}"
+            )
+        else:  # refine or unknown at the current capacity
+            self._grow_refused.add(min(cap_now * 2, self.cfg.max_capacity))
+            self._densify_frozen_until = (
+                int(self.state.step) + self.config.divergence_freeze_steps
+            )
+            print(
+                f"CRASH POLICY: a previous run died executing {kind} at "
+                f"the current capacity {cap_now}; freezing densification "
+                f"until step {self._densify_frozen_until} and refusing "
+                f"further growth"
+            )
+
+    def _dispatch_journaled(self, key: Dict, fn, *args):
+        """Run one device dispatch; if its executable configuration was
+        never witnessed this process, record it (attempt -> dispatch ->
+        force completion -> ok) so a worker kill is attributed to exactly
+        this configuration. Witnessed configs dispatch with zero overhead
+        (their memory footprint is static — if the first dispatch fit,
+        every later one does)."""
+        fkey = frozenset(key.items())
+        is_new = fkey not in self._witnessed
+        if is_new:
+            self._journal.attempt(**key)
+        out = fn(*args)
+        if is_new:
+            # force real completion before writing ok: block_until_ready
+            # can return early through the tunneled backend, so fetch the
+            # smallest output leaf to the host
+            leaves = [
+                leaf for leaf in jax.tree.leaves(out)
+                if hasattr(leaf, "shape")
+            ]
+            if leaves:
+                np.asarray(min(leaves, key=lambda x: x.size))
+            self._journal.ok(**key)
+            self._witnessed.add(fkey)
+        return out
+
+    @staticmethod
+    def _device_lost(e: Exception) -> bool:
+        """True for errors after which the process must restart: the TPU
+        worker died and took every device buffer with it."""
+        s = f"{type(e).__name__}: {e}"
+        return any(m in s for m in (
+            "UNAVAILABLE", "worker process crashed", "DATA_LOSS",
+            "device is lost",
+        ))
+
+    def _test_crash_hook(self, step: int) -> None:
+        """QED_CRASH_ONCE_AT=<step>: simulate a TPU worker kill (hard
+        process exit, no cleanup) the first time ``step`` is reached —
+        drives the supervisor/journal recovery tests end to end."""
+        import os
+
+        at = os.environ.get("QED_CRASH_ONCE_AT")
+        if not at:
+            return
+        marker = self.run_dir / ".crash_once_done"
+        if step >= int(at) and not marker.exists():
+            marker.write_text(str(step))
+            print(f"TEST HOOK: simulating worker kill at step {step}",
+                  flush=True)
+            os._exit(41)
 
     # ------------------------------------------------------- step plumbing
 
@@ -389,8 +530,10 @@ class Trainer:
                               new_cap: int) -> Tuple[bool, str]:
         """AOT-compile the train dispatch and the refine pass at the grown
         capacity, and check their XLA memory analysis against the device
-        HBM budget. Returns (ok, reason). The compiled executables are
-        cached so a committed growth pays no second compile.
+        HBM budget. Returns (ok, reason, transient) — ``transient`` marks
+        refusals worth retrying later (compile hiccups) vs deterministic
+        budget overruns. The compiled executables are cached so a committed
+        growth pays no second compile.
 
         Both observed failure modes of an over-large growth — a compile
         error (round-3 first crash: remote-compile HTTP 500 at 3.58M) and
@@ -445,15 +588,18 @@ class Trainer:
                 peaks.append(self._exe_peak_bytes(step_exec))
             # mesh / per-step paths: refine (probed above) is the growth-
             # adjacent compile; the step executable is left to normal jit.
-        except Exception as e:  # compile failure = refusal, not a crash
-            return False, f"grown-capacity compile failed: {e!r}"
+        except Exception as e:  # compile failure = refusal, not a crash.
+            # "transient": compile errors (e.g. a remote-compile HTTP 500)
+            # are retried at a later cadence; only deterministic budget
+            # overruns below refuse permanently.
+            return False, f"grown-capacity compile failed: {e!r}", True
 
         peaks = [p for p in peaks if p]
         mstats = self._device_memory_stats()
         limit = mstats.get("bytes_limit")
         pk_msg = f"exe peaks {[round(p / 1e9, 2) for p in peaks]} GB"
         if not peaks or not limit:
-            return True, f"no device memory limit known; {pk_msg}"
+            return True, f"no device memory limit known; {pk_msg}", False
         # residents the step does not list as arguments (eval renderer
         # consts, other resolution buckets' image caches, ...)
         if mstats.get("bytes_in_use"):
@@ -474,33 +620,78 @@ class Trainer:
                f"projected {need / 1e9:.2f} GB vs budget "
                f"{budget / 1e9:.2f} GB ({self.cfg.grow_memory_fraction:.2f}"
                f" x {limit / 1e9:.2f} GB HBM)")
-        return need <= budget, msg
+        return need <= budget, msg, False
 
-    def _maybe_grow(self, cur: int = 0, max_hw: int = 0) -> None:
+    def _maybe_grow(self, cur: int = 0,
+                    max_hw: int = 0) -> Optional[Tuple[int, int]]:
+        """Returns (pre_growth_capacity, new_capacity) when a growth was
+        committed this call (the caller's next dispatch is the canary —
+        see _callbacks), else None."""
         params = self.state.params
         n_alive = int(params.num_alive())
         cap = params.capacity
         if n_alive > 0.85 * cap and cap < self.cfg.max_capacity:
             new_cap = min(cap * 2, self.cfg.max_capacity)
             if new_cap in self._grow_refused:
-                return
+                return None
+            if cur < self._grow_retry_at.get(new_cap, 0):
+                return None  # transient probe failure: retry later
             if max_hw <= 0:  # direct callers without a batch in flight
                 cam = self.dm.get_item(int(self.dm.train_indices[0]))["camera"]
                 d = self._downscale_factor(cur)
                 if d > 1:
                     cam = cam.rescaled(1.0 / d)
                 max_hw = max(cam.width, cam.height)
-            ok, why = self._probe_grown_compiles(cur, max_hw, new_cap)
+            ok, why, transient = self._probe_grown_compiles(
+                cur, max_hw, new_cap
+            )
             if not ok:
                 print(
                     f"REFUSING gaussian capacity growth {cap} -> {new_cap}:"
                     f" {why}. Continuing at capacity {cap}; densification"
                     " is priority-capped to the remaining free slots."
                 )
-                self._grow_refused.add(new_cap)
-                return
-            print(f"Growing gaussian capacity {cap} -> {new_cap} ({why})")
+                if transient:
+                    self._grow_retry_at[new_cap] = (
+                        cur + 10 * self.cfg.refine_every
+                    )
+                else:
+                    self._grow_refused.add(new_cap)
+                return None
+            # commit-after-proof: the compile probe is only a cheap first
+            # filter (round 3 proved its arithmetic can pass while the
+            # chip dies). Save a pre-growth checkpoint, THEN swap in the
+            # grown state; the very next dispatch acts as the canary and
+            # _callbacks restores this checkpoint + refuses the capacity
+            # if it fails in-process (a worker kill instead leaves the
+            # journal witness for the supervisor restart).
+            ckpt.save_checkpoint(
+                self.run_dir / "pregrow", self.state, cur,
+                dataparser_transform=self.dm.scene.transform_matrix,
+                dataparser_scale=self.dm.scene.scale_factor,
+                model_config=self.cfg,
+                k_by_d=self._k_by_d,
+            )
+            print(f"Growing gaussian capacity {cap} -> {new_cap} ({why}; "
+                  f"pre-growth checkpoint at step {cur})")
             self.state = self._grown_state(self.state, new_cap)
+            return (int(cap), int(new_cap))
+        return None
+
+    def _revert_growth(self, cur: int, pre_cap: int, new_cap: int,
+                       err: Exception) -> None:
+        """Canary dispatch failed in-process: restore the pre-growth
+        checkpoint and refuse this capacity permanently."""
+        print(
+            f"GROWTH CANARY FAILED at step {cur} (capacity {pre_cap} -> "
+            f"{new_cap}): {type(err).__name__}: {str(err)[:300]}. "
+            f"Restoring the pre-growth checkpoint and refusing capacity "
+            f"{new_cap}."
+        )
+        latest = ckpt.latest_checkpoint(self.run_dir / "pregrow")
+        template = self._template_for_capacity(pre_cap)
+        self.state = ckpt.restore_checkpoint(latest, template)
+        self._grow_refused.add(new_cap)
 
     # ------------------------------------------------------------- train
 
@@ -512,24 +703,44 @@ class Trainer:
             and cur % self.cfg.refine_every == 0
             and cur >= self._densify_frozen_until
         ):
-            self._maybe_grow(cur, max_hw)
+            grown = self._maybe_grow(cur, max_hw)
             key, sub = jax.random.split(key)
-            rkey = (int(self.state.params.capacity), max_hw,
-                    self.dm.num_train, self.cfg)
-            refine_fn = self._refine_exec.get(rkey)
-            if refine_fn is not None:
-                # AOT executable compiled by the growth memory gate
-                params, opt_state, stats, info = refine_fn(
+
+            def _refine_dispatch():
+                rkey = (int(self.state.params.capacity), max_hw,
+                        self.dm.num_train, self.cfg)
+                refine_fn = self._refine_exec.get(rkey)
+                jrec = dict(kind="refine",
+                            capacity=int(self.state.params.capacity),
+                            max_hw=int(max_hw))
+                if refine_fn is not None:
+                    # AOT executable compiled by the growth memory gate
+                    return self._dispatch_journaled(
+                        jrec, refine_fn,
+                        self.state.params, self.state.opt_state,
+                        self.state.stats, self.state.step, sub,
+                    )
+                return self._dispatch_journaled(
+                    jrec,
+                    lambda *a: self._refine_jit(
+                        *a, self.cfg, num_train_data=self.dm.num_train,
+                        max_hw=max_hw,
+                    ),
                     self.state.params, self.state.opt_state,
                     self.state.stats, self.state.step, sub,
                 )
-            else:
-                params, opt_state, stats, info = self._refine_jit(
-                    self.state.params, self.state.opt_state, self.state.stats,
-                    self.state.step, sub, self.cfg,
-                    num_train_data=self.dm.num_train,
-                    max_hw=max_hw,
-                )
+
+            try:
+                params, opt_state, stats, info = _refine_dispatch()
+            except Exception as e:
+                # growth canary: the first dispatch at a freshly grown
+                # capacity failing IN-PROCESS reverts the growth and
+                # refuses the capacity (worker kills re-raise for the
+                # supervisor; the journal witnesses the config)
+                if grown is None or self._device_lost(e):
+                    raise
+                self._revert_growth(cur, grown[0], grown[1], e)
+                params, opt_state, stats, info = _refine_dispatch()
             params, opt_state = self._reset_jit(
                 params, opt_state, self.state.step, self.cfg
             )
@@ -713,6 +924,9 @@ class Trainer:
         if d not in self._k_by_d:
             coarser = [k for dd, k in self._k_by_d.items() if dd > d]
             self._k_by_d[d] = max([self.config.model.max_per_tile, *coarser])
+        cap = self._k_crash_cap.get(d)
+        if cap is not None and self._k_by_d[d] > cap:
+            self._k_by_d[d] = cap
         return self._k_by_d[d]
 
     def _maybe_adapt_k(self, overflow, max_count, width: int, height: int,
@@ -734,8 +948,12 @@ class Trainer:
         k_now = self._k_for(d)
         ts = cfg.tile_size
         t = (-(-width // ts)) * (-(-height // ts))
-        if overflow > 0.10 * t * k_now and k_now < cfg.max_per_tile_limit:
-            new_k = min(k_now * 2, cfg.max_per_tile_limit)
+        # a K that killed a previous run caps this bucket below the
+        # crash value (journal crash policy) regardless of overflow
+        k_limit = min(cfg.max_per_tile_limit,
+                      self._k_crash_cap.get(d, cfg.max_per_tile_limit))
+        if overflow > 0.10 * t * k_now and k_now < k_limit:
+            new_k = min(k_now * 2, k_limit)
             print(f"Growing max_per_tile {k_now} -> {new_k} at 1/{d} res "
                   f"(tile_overflow {overflow:.0f})")
             self._k_by_d[d] = new_k
@@ -797,20 +1015,19 @@ class Trainer:
         cfgt = self.config
         total = max_steps or cfgt.max_num_iterations
         chunk = self._dispatch_chunk()
-        key = jax.random.PRNGKey(cfgt.seed)
         start_step = int(self.state.step)
         t0 = time.perf_counter()
-        queue: list = []
-        rng = np.random.default_rng(cfgt.seed)
         step = start_step
         while step < total:
             self._viewer_gate()
             n = min(chunk, total - step)
             d = self._downscale_factor(step)
-            while len(queue) < n:
-                queue.extend(rng.permutation(self.dm.num_train).tolist())
-            perm = jnp.asarray(np.asarray(queue[:n], np.int32))
-            queue = queue[n:]
+            while len(self._queue) < n:
+                self._queue.extend(
+                    self._np_rng.permutation(self.dm.num_train).tolist()
+                )
+            perm = jnp.asarray(np.asarray(self._queue[:n], np.int32))
+            self._queue = self._queue[n:]
             import dataclasses as _dc
 
             if self.cfg.max_per_tile != self._k_for(d):
@@ -821,9 +1038,16 @@ class Trainer:
                 d, n, need_absgrad=(step < self.cfg.stop_split_at),
                 capacity=self.state.params.capacity,
             )
-            key, sub = jax.random.split(key)
-            self.state, metrics = scan_fn(self.state, perm, sub)
+            self._key, sub = jax.random.split(self._key)
+            jrec = dict(
+                kind="step", capacity=int(self.state.params.capacity),
+                d=int(d), k=int(self.cfg.max_per_tile), chunk=int(n),
+            )
+            self.state, metrics = self._dispatch_journaled(
+                jrec, scan_fn, self.state, perm, sub
+            )
             step += n
+            self._test_crash_hook(step)
             # per-chunk reductions, not just the last step: a loss spike or
             # first-NaN inside the chunk must be visible (round-2 weak #7)
             marr = {k: np.asarray(v) for k, v in metrics.items()}
@@ -848,9 +1072,11 @@ class Trainer:
                 not self._state_finite()
             ):
                 step = self._handle_divergence(step)
-                key = jax.random.split(key)[0]
+                self._reseed_sampling()
                 continue
-            key = self._callbacks(step, max(ds.width, ds.height), key)
+            self._key = self._callbacks(
+                step, max(ds.width, ds.height), self._key
+            )
         wall = time.perf_counter() - t0
         done = total - start_step
         if done > 0:
@@ -866,10 +1092,13 @@ class Trainer:
                         do_finalize: bool = True) -> TrainState:
         cfgt = self.config
         total = max_steps or cfgt.max_num_iterations
-        key = jax.random.PRNGKey(cfgt.seed)
         start_step = int(self.state.step)
         t0 = time.perf_counter()
         step = start_step
+        # lagged divergence watch: step N's loss is checked after step N+1
+        # is dispatched, so detection costs no pipeline stall and a NaN
+        # trains at most ONE extra step (the scan path checks per chunk)
+        prev_loss = None
         while step < total:
             self._viewer_gate()
             if self.config.profile_dir and step == start_step + 10:
@@ -901,13 +1130,33 @@ class Trainer:
                     # absgrad stats only matter while densification can run
                     need_absgrad=(step < self.cfg.stop_split_at),
                 )
-            key, sub = jax.random.split(key)
-            self.state, metrics = step_fn(self.state, batch, sub)
+            self._key, sub = jax.random.split(self._key)
+            jrec = dict(
+                kind="step", capacity=int(self.state.params.capacity),
+                d=int(d), k=int(self.cfg.max_per_tile),
+                w=int(cam.width), h=int(cam.height),
+                sharded=self.mesh is not None,
+            )
+            self.state, metrics = self._dispatch_journaled(
+                jrec, step_fn, self.state, batch, sub
+            )
             cur = step + 1
             step = cur
+            self._test_crash_hook(cur)
             if self.config.profile_dir and cur == start_step + 15:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
+
+            # check the PREVIOUS dispatch's loss (already complete, so the
+            # fetch is free) — every step, not only on log cadence
+            if prev_loss is not None and not np.isfinite(
+                float(np.asarray(prev_loss))
+            ):
+                step = self._handle_divergence(cur - 1)
+                self._reseed_sampling()
+                prev_loss = None
+                continue
+            prev_loss = metrics["loss"]
 
             if cur % cfgt.log_every == 0:
                 host = {k: float(np.asarray(v)) for k, v in metrics.items()}
@@ -920,11 +1169,14 @@ class Trainer:
                 )
                 if not np.isfinite(host["loss"]) or not self._state_finite():
                     step = self._handle_divergence(cur)
-                    key = jax.random.split(key)[0]
+                    self._reseed_sampling()
+                    prev_loss = None
                     continue
 
             # refinement / eval / checkpoint cadences
-            key = self._callbacks(cur, max(cam.width, cam.height), key)
+            self._key = self._callbacks(
+                cur, max(cam.width, cam.height), self._key
+            )
 
         wall = time.perf_counter() - t0
         done = total - start_step
@@ -939,32 +1191,62 @@ class Trainer:
 
     # -------------------------------------------------------------- eval
 
+    def _k_eval(self, d: int) -> int:
+        """K for eval renders: the max adaptive K across ALL resolution
+        buckets, not just the current one. The shrink path sizes a bucket's
+        K to fit TRAINING-view tile counts; eval views (different poses, no
+        tile_overflow feedback loop) can exceed a shrunk K and silently
+        truncate occluded surfaces, biasing PSNR/SSIM."""
+        k = max([self._k_for(d), *self._k_by_d.values()])
+        if self._eval_k_cap is not None:
+            k = min(k, self._eval_k_cap)
+        return k
+
     def _render_eval(self, item: Dict, d: int = 1):
         cam = item["camera"].rescaled(1.0 / d) if d > 1 else item["camera"]
-        # full-resolution evals use the largest adaptive K seen so far
-        # (the current training bucket may be coarser)
         import dataclasses as _dc
 
-        eval_cfg = _dc.replace(self.cfg, max_per_tile=self._k_for(d))
-        key = ("eval_render", cam.width, cam.height,
-               self.state.params.capacity, eval_cfg.max_per_tile)
-        if key not in self._step_fns:
-            w, h = cam.width, cam.height
+        k = self._k_eval(d)
+        while True:
+            eval_cfg = _dc.replace(self.cfg, max_per_tile=k)
+            key = ("eval_render", cam.width, cam.height,
+                   self.state.params.capacity, eval_cfg.max_per_tile)
+            if key not in self._step_fns:
+                w, h = cam.width, cam.height
 
-            @jax.jit
-            def _eval_fn(params, c2w, K, step):
-                return render(
-                    params, c2w, K, w, h, eval_cfg, step=step, train=False
-                )
+                def _eval_fn(params, c2w, K, step, _cfg=eval_cfg, _w=w, _h=h):
+                    return render(
+                        params, c2w, K, _w, _h, _cfg, step=step, train=False
+                    )
 
-            self._step_fns[key] = _eval_fn
-        out = self._step_fns[key](
-            self.state.params,
-            jnp.asarray(cam.c2w),
-            jnp.asarray(cam.intrinsics_matrix()),
-            self.state.step,
-        )
-        return out, cam
+                self._step_fns[key] = jax.jit(_eval_fn)
+            jrec = dict(
+                kind="eval", capacity=int(self.state.params.capacity),
+                k=int(k), w=int(cam.width), h=int(cam.height),
+            )
+            out = self._dispatch_journaled(
+                jrec, self._step_fns[key],
+                self.state.params,
+                jnp.asarray(cam.c2w),
+                jnp.asarray(cam.intrinsics_matrix()),
+                self.state.step,
+            )
+            # eval views have no adaptive-K feedback during training: if
+            # this render truncated per-tile lists, re-render once at a
+            # doubled K (bounded by the configured limit) for an unbiased
+            # metric
+            overflow = (
+                int(np.asarray(out.tile_overflow))
+                if out.tile_overflow is not None else 0
+            )
+            k_limit = min(
+                self.cfg.max_per_tile_limit,
+                self._eval_k_cap or self.cfg.max_per_tile_limit,
+            )
+            if overflow > 0 and k < k_limit:
+                k = min(k * 2, k_limit)
+                continue
+            return out, cam
 
     def eval_image(self, step: int) -> Dict:
         idx = self.dm.scene.eval_indices[

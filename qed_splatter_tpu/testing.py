@@ -315,6 +315,8 @@ def write_room_dataset(
     seed: int = 0,
     depth_unit: float = 1000.0,
     eval_every: int = 0,
+    rgb_only: bool = False,
+    sparse_ply: int = 0,
 ) -> None:
     """Analytic ray-cast indoor RGB-D dataset: a closed textured room with
     boxes — opaque surfaces with exact, multi-view-consistent sensor depth
@@ -327,6 +329,14 @@ def write_room_dataset(
     produce. Textures are procedural functions of the world-space hit point
     (view-independent, mid-frequency), so the scene is gaussian-fittable
     but not trivial.
+
+    ``rgb_only=True`` drops the depth maps from disk and transforms.json —
+    the splatfacto-base workload (BASELINE config #2: "RGB-only
+    splatfacto-init, 7k iters at 1080p"). ``sparse_ply=N`` additionally
+    writes an SfM-style sparse surface point cloud (~N points sampled from
+    the ray-cast hits with albedo colors, like the COLMAP cloud nerfstudio
+    scenes ship) as ``sparse_pc.ply`` and sets ``ply_file_path`` so
+    splatfacto seeds from it (ref dataparser.py:25-56 / config.py:36).
     """
     import json
     from pathlib import Path
@@ -426,6 +436,8 @@ def write_room_dataset(
         return rgb.reshape(height, width, 3), depth
 
     frames = []
+    sp_pts, sp_cols = [], []
+    sp_rng = np.random.default_rng(seed + 1)
     for i in range(num_frames):
         az = 2.0 * np.pi * i / num_frames
         el = 0.12 * np.sin(3.0 * az)
@@ -434,19 +446,47 @@ def write_room_dataset(
         Image.fromarray(
             np.clip(rgb * 255, 0, 255).astype(np.uint8)
         ).save(root / "images" / f"frame_{i:04d}.png")
-        np.save(root / "depth" / f"frame_{i:04d}.npy",
-                (depth * depth_unit).astype(np.float32))
-        frames.append({
+        frame = {
             "file_path": f"images/frame_{i:04d}.png",
-            "depth_file_path": f"depth/frame_{i:04d}.npy",
             "transform_matrix": np.asarray(c2w).tolist(),
-        })
+        }
+        if not rgb_only:
+            np.save(root / "depth" / f"frame_{i:04d}.npy",
+                    (depth * depth_unit).astype(np.float32))
+            frame["depth_file_path"] = f"depth/frame_{i:04d}.npy"
+        frames.append(frame)
+        if sparse_ply > 0:
+            # SfM-like sparse samples: random finite-depth pixels,
+            # backprojected through the same OpenGL camera as raycast()
+            m = sparse_ply // num_frames + 1
+            ys = sp_rng.integers(0, height, m)
+            xs = sp_rng.integers(0, width, m)
+            t = depth[ys, xs]
+            ok = np.isfinite(t)
+            d_cam = np.stack([
+                (xs + 0.5 - K[0, 2]) / f, -(ys + 0.5 - K[1, 2]) / f,
+                -np.ones(m),
+            ], axis=-1)
+            pts = (np.asarray(c2w)[:3, 3][None]
+                   + t[:, None] * (d_cam @ np.asarray(c2w)[:3, :3].T))
+            sp_pts.append(pts[ok])
+            sp_cols.append(rgb[ys, xs][ok])
     meta = {
         "fl_x": float(f), "fl_y": float(f),
         "cx": width / 2.0, "cy": height / 2.0,
         "w": width, "h": height,
         "frames": frames,
     }
+    if sparse_ply > 0:
+        from qed_splatter_tpu.data.ply import write_ply
+
+        pts = np.concatenate(sp_pts)[:sparse_ply]
+        cols = np.concatenate(sp_cols)[:sparse_ply]
+        # SfM noise: sub-cm jitter so the cloud is realistic, not exact
+        pts = pts + sp_rng.normal(0, 0.004, pts.shape)
+        write_ply(root / "sparse_pc.ply", pts.astype(np.float32),
+                  colors=np.clip(cols * 255, 0, 255).astype(np.uint8))
+        meta["ply_file_path"] = "sparse_pc.ply"
     if eval_every > 0:
         meta["val_filenames"] = [
             fr["file_path"] for i, fr in enumerate(frames)

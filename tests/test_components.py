@@ -151,3 +151,31 @@ def test_render_with_crop_box():
     # cropping removed at least the off-center gaussian's contribution
     assert float(crop.accumulation.sum()) <= float(full.accumulation.sum())
     assert int(crop.visible.sum()) < int(full.visible.sum())
+
+
+def test_chip_lock_mutual_exclusion(tmp_path, monkeypatch):
+    """Two clients must never share the accelerator (round-3: a worker
+    crash in one silently hangs the other). flock-based: stale locks are
+    impossible because the kernel releases on process death."""
+    import qed_splatter_tpu.utils.chiplock as cl
+
+    monkeypatch.setenv("QED_CHIP_LOCK", str(tmp_path / "chip.lock"))
+    # pretend an accelerator is present so the lock engages on CPU
+    monkeypatch.setattr(cl, "accelerator_present", lambda: True)
+    assert cl.acquire_chip_lock("test-a")
+    # a second process: simulate by clearing the module-level handle while
+    # keeping the flock alive through a duplicate fd
+    held = cl._LOCK
+    cl._LOCK = None
+    try:
+        import pytest
+
+        with pytest.raises(cl.ChipBusy, match="test-a"):
+            cl.acquire_chip_lock("test-b")
+        assert cl.acquire_chip_lock("test-b", required=False) is False
+    finally:
+        cl._LOCK = held
+        cl.release_chip_lock()
+    # after release: acquirable again
+    assert cl.acquire_chip_lock("test-c")
+    cl.release_chip_lock()

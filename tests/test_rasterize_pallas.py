@@ -421,3 +421,61 @@ def test_chunked_early_termination_skips_saturated_tiles():
         tile_counts=jnp.asarray([k, K_CHUNK - 1], jnp.int32),
     )
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_needle_splat_gradient_parity():
+    """High-anisotropy needle splats whose means lie many tile-widths
+    outside the tiles they cross, at near-saturated opacity — the regime
+    where the backward's pixel-moment MXU reduction expands
+    sum(dsigma*(mxl-pxl)^2) into mxl^2*s0 - 2*mxl*sx + sxx with |mxl| in
+    the hundreds (the same cancellation structure that forced the FORWARD
+    sigma MXU formulation to be reverted, see _alphas). Guards the claim
+    that the gradient rewrite stays exact-in-f32 where the sigma rewrite
+    did not: parity vs the XLA rasterizer's autodiff."""
+    rng = np.random.default_rng(0)
+    n = 8
+    means2d = np.stack([
+        rng.uniform(W + 300, W + 700, n),   # 20-45 tile-widths outside
+        rng.uniform(4, H - 4, n),
+    ], axis=1).astype(np.float32)
+    th = rng.uniform(-0.05, 0.05, n)        # near-axis-aligned needles
+    conics, radii = [], []
+    for i in range(n):
+        c, s = np.cos(th[i]), np.sin(th[i])
+        R = np.array([[c, -s], [s, c]])
+        cov = R @ np.diag([900.0**2, 1.2**2]) @ R.T
+        cin = np.linalg.inv(cov)
+        conics.append([cin[0, 0], cin[0, 1], cin[1, 1]])
+        radii.append(int(3 * np.sqrt(max(cov[0, 0], cov[1, 1]))))
+    conics = jnp.asarray(np.asarray(conics, np.float32))
+    m2d = jnp.asarray(means2d)
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.95, 0.999, n).astype(np.float32))
+    binning = bin_gaussians(
+        m2d, jnp.asarray(np.asarray(radii, np.int32)),
+        jnp.asarray(rng.uniform(1, 4, n).astype(np.float32)),
+        W, H, max_per_tile=64, max_tiles_per_gaussian=256,
+    )
+    target = jnp.zeros((H, W, 3))
+
+    def loss(fn, m2d, con, cols, op):
+        out = fn(binning.tile_lists, m2d, con, cols, op, W, H,
+                 binning.num_tiles_x)
+        return (
+            jnp.mean((out.render - target) ** 2)
+            + 0.3 * jnp.mean(out.alpha ** 2)
+        )
+
+    g_ref = jax.grad(
+        lambda *a: loss(rasterize_tiles, *a), argnums=(0, 1, 2, 3)
+    )(m2d, conics, colors, opac)
+    g_pal = jax.grad(
+        lambda *a: loss(rasterize_tiles_pallas, *a), argnums=(0, 1, 2, 3)
+    )(m2d, conics, colors, opac)
+    for name, a, b in zip(("means2d", "conics", "colors", "opac"),
+                          g_pal, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(float(np.abs(b).max()), 1e-12)
+        assert np.abs(a - b).max() / denom < 1e-4, (
+            f"needle grad mismatch: {name}"
+        )

@@ -382,7 +382,10 @@ def test_growth_refused_when_over_memory_budget(dataset, tmp_path, monkeypatch):
 
 def test_growth_refused_on_compile_failure(dataset, tmp_path):
     """A grown-capacity compile error (round-3 first crash: remote-compile
-    HTTP 500 at 3.58M) downgrades to a refusal; training continues."""
+    HTTP 500 at 3.58M) downgrades to a refusal; training continues. The
+    refusal is TRANSIENT (compile errors can be flaky remote-compile
+    failures): the probe retries at a later cadence instead of capping
+    capacity for the whole run, and a successful retry grows."""
     cfg = _tiny_config(dataset, tmp_path)
     trainer = Trainer(cfg)
     cap = trainer.state.params.capacity
@@ -392,10 +395,28 @@ def test_growth_refused_on_compile_failure(dataset, tmp_path):
         def lower(self, *a, **k):
             raise RuntimeError("remote_compile: HTTP 500")
 
+    good_jit = trainer._refine_jit
     trainer._refine_jit = FailingJit()
-    trainer._maybe_grow()
+    trainer._maybe_grow(cur=100)
     assert trainer.state.params.capacity == cap
-    assert (2 * cap) in trainer._grow_refused
+    # NOT a permanent refusal — deferred to a retry step
+    assert (2 * cap) not in trainer._grow_refused
+    retry_at = trainer._grow_retry_at[2 * cap]
+    assert retry_at > 100
+    # before the retry step: no probe runs (the failing jit would raise
+    # through _maybe_grow only via _probe_grown_compiles' catch; use a
+    # sentinel to prove it is not called at all)
+    def boom(*a, **k):
+        raise AssertionError("probe must not re-run before the retry step")
+    probe = trainer._probe_grown_compiles
+    trainer._probe_grown_compiles = boom
+    trainer._maybe_grow(cur=retry_at - 1)
+    assert trainer.state.params.capacity == cap
+    # at the retry step with a healthy compiler: the growth goes through
+    trainer._probe_grown_compiles = probe
+    trainer._refine_jit = good_jit
+    trainer._maybe_grow(cur=retry_at)
+    assert trainer.state.params.capacity == 2 * cap
 
 
 def test_growth_allowed_caches_aot_executables(dataset, tmp_path, monkeypatch):
@@ -413,3 +434,75 @@ def test_growth_allowed_caches_aot_executables(dataset, tmp_path, monkeypatch):
     trainer._maybe_grow()
     assert trainer.state.params.capacity == 2 * cap
     assert any(k[0] == 2 * cap for k in trainer._refine_exec)
+
+
+def test_sampling_persists_across_train_calls(dataset, tmp_path):
+    """View sampling state must survive train() turn boundaries: reseeding
+    per call replayed the identical permutation prefix every multi-scene
+    turn, so scenes with more views than one turn's steps NEVER sampled
+    the tail views (round-3 advisor finding). With 2-step turns over a
+    4-view scene, all views must still be visited."""
+    cfg = _tiny_config(dataset, tmp_path, steps_per_dispatch=2)
+    cfg = dataclasses.replace(
+        cfg, steps_per_save=0, steps_per_eval_image=0,
+        steps_per_eval_all_images=0,
+        model=dataclasses.replace(
+            cfg.model, num_downscales=0, warmup_length=100, refine_every=50,
+        ),
+    )
+    trainer = Trainer(cfg)
+    assert trainer._use_scan()
+    seen: list = []
+    orig = trainer._get_scan_fn
+
+    def spying(*a, **kw):
+        fn, ds = orig(*a, **kw)
+
+        def wrapped(state, perm, rng):
+            seen.extend(np.asarray(perm).tolist())
+            return fn(state, perm, rng)
+
+        return wrapped, ds
+
+    trainer._get_scan_fn = spying
+    n_train = trainer.dm.num_train
+    assert n_train >= 3
+    for turn in range(1, n_train + 2):
+        trainer.train(max_steps=2 * turn, finalize=False)
+    # one epoch's worth of steps across turns must cover every view
+    assert set(seen[: n_train]) == set(range(n_train)), seen
+    # and consecutive turns are NOT replays of the same prefix
+    assert seen[:2] != seen[2:4] or seen[:2] != seen[4:6]
+
+
+def test_per_step_nan_loss_detected_within_one_dispatch(dataset, tmp_path):
+    """Per-step path: a NaN loss must be caught by the lagged per-dispatch
+    watch (at most ONE extra step), not at the log_every cadence — a NaN
+    could previously train for log_every - 1 steps undetected."""
+    cfg = _tiny_config(
+        dataset, tmp_path, steps_per_dispatch=1, on_divergence="halt",
+    )
+    cfg = dataclasses.replace(
+        cfg, log_every=10_000, steps_per_save=0, steps_per_eval_image=0,
+        steps_per_eval_all_images=0,
+        model=dataclasses.replace(
+            cfg.model, num_downscales=0, warmup_length=100, refine_every=50,
+        ),
+    )
+    trainer = Trainer(cfg)
+    trainer.train(max_steps=4, finalize=False)
+    # NaN colors -> NaN rendered pixels wherever alpha > 0 -> NaN loss
+    import jax.numpy as jnp
+
+    trainer.state = trainer.state.replace(
+        params=trainer.state.params.replace(
+            features_dc=trainer.state.params.features_dc * jnp.nan
+        )
+    )
+    from qed_splatter_tpu.engine.trainer import TrainingDiverged
+
+    with pytest.raises(TrainingDiverged):
+        trainer.train(max_steps=30, finalize=False)
+    # detected within the lag window (dispatch N checked after N+1), far
+    # before the 10_000-step log cadence
+    assert int(trainer.state.step) <= 7

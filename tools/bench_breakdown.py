@@ -144,6 +144,27 @@ def main() -> None:
 
     t("binning", bin_op, (proj.means2d[0], proj.depths[0]))
 
+    # --- binning internals (what of the ~19 ms is sort vs slab plan?) ---
+    def bin_op_noslab(m2d, depths):
+        return bin_gaussians(m2d, radii, depths, width, height,
+                             tile_size=ts, max_per_tile=k_cap,
+                             with_slab_plan=False, with_id_lists=False)
+
+    t("binning_noslab", bin_op_noslab, (proj.means2d[0], proj.depths[0]))
+
+    tpg_small, tpg = 8, 64
+    n_over = max(1024, capacity // 16)
+    total_pairs = capacity * tpg_small + n_over * (tpg - tpg_small)
+    skeys = jnp.asarray(
+        rng.integers(0, 2**31, total_pairs).astype(np.uint32))
+    t("sort_pairs_u32", lambda k: jax.lax.sort(k, is_stable=False), (skeys,))
+    payload = jnp.arange(total_pairs, dtype=jnp.int32)
+    t("sort_pairs_kv",
+      lambda k, v: jax.lax.sort((k, v), num_keys=1, is_stable=False),
+      (skeys, payload))
+    dvals = jnp.asarray(rng.uniform(0, 1, capacity).astype(np.float32))
+    t("argsort_capacity", jnp.argsort, (dvals,))
+
     binning = bin_op(proj.means2d[0], proj.depths[0])
     rgb_g = sh_op(coeffs, params.means)
     opac = jax.nn.sigmoid(params.opacities) * proj.compensations[0]

@@ -63,7 +63,7 @@ def main(argv=None) -> int:
     print(f"device: {trainer._device_memory_stats() or 'no memory stats'}")
     print(f"probing growth {cap} -> {args.target_capacity} at step {step} "
           f"(1/{d} res {cam.width}x{cam.height}, K={trainer.cfg.max_per_tile})")
-    ok, why = trainer._probe_grown_compiles(
+    ok, why, _transient = trainer._probe_grown_compiles(
         step, max(cam.width, cam.height), args.target_capacity
     )
     print(f"{'WOULD GROW' if ok else 'WOULD REFUSE'}: {why}")
