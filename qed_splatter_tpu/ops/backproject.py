@@ -44,7 +44,8 @@ def backproject_depth(
     p_cam = jnp.stack([x, y, z], axis=-1)             # [P, 3]
     R = c2w_cv[:3, :3]
     t = c2w_cv[:3, 3]
-    p_world = p_cam @ R.T + t
+    p_world = jnp.matmul(p_cam, R.T,
+                         precision=jax.lax.Precision.HIGHEST) + t
     p_world = jnp.where(valid[:, None], p_world, 0.0)
     return p_world, valid
 
@@ -71,7 +72,9 @@ def colorize_points(
     _, h, w, _ = images.shape
 
     def one_frame(img, depth, w2c_f, K):
-        p_cam = positions @ w2c_f[:3, :3].T + w2c_f[:3, 3]
+        p_cam = jnp.matmul(positions, w2c_f[:3, :3].T,
+                           precision=jax.lax.Precision.HIGHEST
+                           ) + w2c_f[:3, 3]
         z = p_cam[:, 2]
         zok = jnp.isfinite(z) & (z > 1e-6) & (z <= depth_max)
         z_safe = jnp.where(zok, z, 1.0)
@@ -104,7 +107,8 @@ def project_points(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """World points -> pixel (u, v) + camera z; matches the semantics of
     reference create_init_pointcloud.py:264-281 (invalid -> nan u/v)."""
-    p_cam = positions @ w2c[:3, :3].T + w2c[:3, 3]
+    p_cam = jnp.matmul(positions, w2c[:3, :3].T,
+                       precision=jax.lax.Precision.HIGHEST) + w2c[:3, 3]
     z = p_cam[:, 2]
     valid = jnp.isfinite(z) & (z > 1e-6)
     z_safe = jnp.where(valid, z, 1.0)

@@ -24,7 +24,8 @@ def _knn_chunk(q, refs, ref_sq, k, exclude_self):
     # q: [Q, 3]; refs: [M, 3]
     d2 = (
         jnp.sum(q * q, axis=-1, keepdims=True)
-        - 2.0 * q @ refs.T
+        - 2.0 * jnp.matmul(q, refs.T,
+                           precision=jax.lax.Precision.HIGHEST)
         + ref_sq[None, :]
     )
     d2 = jnp.maximum(d2, 0.0)

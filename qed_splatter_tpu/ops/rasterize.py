@@ -89,7 +89,11 @@ def _composite_chunk(
     )
     w = alpha * t_excl                                    # [Tc, P, K]
     out = jnp.einsum(
-        "tpk,tkd->tpd", w, colg, preferred_element_type=jnp.float32
+        "tpk,tkd->tpd", w, colg, preferred_element_type=jnp.float32,
+        # HIGHEST: a DEFAULT-precision f32 einsum truncates operands to one
+        # bf16 MXU pass on TPU — measured 7e-3 relative render divergence
+        # (outputs/tpu_parity_r4.log); this is the parity oracle, so exact
+        precision=jax.lax.Precision.HIGHEST,
     )
     acc = jnp.sum(w, axis=-1)                             # [Tc, P]
     return out, acc

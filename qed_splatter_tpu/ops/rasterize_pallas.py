@@ -54,6 +54,51 @@ def _tri_strict_lower(k: int, dtype=jnp.float32):
     return (rows < cols).astype(dtype)
 
 
+def _prec(op_dtype):
+    """MXU pass count for the kernels' *two-inexact-operand* dots. The TPU
+    MXU multiplies bf16 natively; a DEFAULT-precision f32 dot silently
+    truncates operands to ONE bf16 pass — measured on-chip as a 4e-3
+    render / 1.5e-3 alpha divergence vs the (VPU-elementwise, truly f32)
+    XLA oracle (outputs/tpu_parity_r4.log, first run). Mosaic lowers only
+    DEFAULT and HIGHEST (HIGH raises NotImplementedError), so the f32 path
+    requests HIGHEST here; these dots contract the small D/8 axis, so the
+    6 passes are cheap. The FLOPs-dominant dots against *bf16-exact*
+    matrices (triangular cumsum, pixel-moment basis) use the 2-pass hi/lo
+    split in _dot_exact_rhs instead of 6-pass HIGHEST."""
+    return (jax.lax.Precision.HIGHEST if op_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _dot_exact_mat(x, mat, op_dtype, dims=None, mat_lhs=False):
+    """dot with one *bf16-exact* operand ``mat`` (0/1 triangular masks; the
+    pixel-moment basis, whose entries are half-integer coordinates and
+    their <= 8-significant-bit products) and one inexact operand ``x``.
+
+    f32 path: split x = hi + lo (both bf16) and run TWO DEFAULT-precision
+    MXU passes — operand error ~2^-16 relative (vs 2^-8 for one pass),
+    on-chip parity equal to 6-pass HIGHEST at a third of the MXU time for
+    the FLOPs-dominant K-wide contractions. bf16 path: one pass.
+    ``mat_lhs=True`` computes dot(mat, x) instead (dims then index
+    (mat, x)), so callers can pick the output layout without an in-kernel
+    transpose.
+    """
+    mat_b = mat.astype(jnp.bfloat16)
+
+    def dot(a):
+        ops = (mat_b, a) if mat_lhs else (a, mat_b)
+        dn = dims if dims is not None else (
+            ((ops[0].ndim - 1,), (0,)), ((), ())
+        )
+        return jax.lax.dot_general(*ops, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+
+    if op_dtype != jnp.float32:
+        return dot(x.astype(op_dtype))
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return dot(x_hi) + dot(x_lo)
+
+
 _CUM_BLOCK = 128
 
 
@@ -71,18 +116,14 @@ def _excl_cumsum_last(x, op_dtype=jnp.float32):
     """
     k = x.shape[-1]
     if k <= _CUM_BLOCK:
-        return jnp.dot(x.astype(op_dtype), _tri_strict_lower(k, op_dtype),
-                       preferred_element_type=jnp.float32)
+        return _dot_exact_mat(x, _tri_strict_lower(k), op_dtype)
     assert k % _CUM_BLOCK == 0
-    tri = _tri_strict_lower(_CUM_BLOCK, op_dtype)
+    tri = _tri_strict_lower(_CUM_BLOCK)
     parts = []
     offset = jnp.zeros(x.shape[:-1] + (1,), jnp.float32)
     for b in range(k // _CUM_BLOCK):
         blk = x[..., b * _CUM_BLOCK:(b + 1) * _CUM_BLOCK]
-        parts.append(
-            jnp.dot(blk.astype(op_dtype), tri,
-                    preferred_element_type=jnp.float32) + offset
-        )
+        parts.append(_dot_exact_mat(blk, tri, op_dtype) + offset)
         offset = offset + jnp.sum(blk, axis=-1, keepdims=True)
     return jnp.concatenate(parts, axis=-1)
 
@@ -182,6 +223,7 @@ def _fwd_tile_body(means_ref, conics_ref, colors_ref, opac_ref,
         colors_ref[j].astype(op_dtype), w.astype(op_dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_prec(op_dtype),
     )
     acc_ref[j] = jnp.sum(w, axis=-1)[None, :]
 
@@ -281,11 +323,12 @@ def _bwd_tile_body(means_ref, conics_ref, colors_ref, opac_ref,
         gout.astype(op_dtype), colors_ref[j].astype(op_dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_prec(op_dtype),
     ) + gacc[:, None]
     # dL/dcolors[D, K] = gout[D, P] . w[P, K]
     dcolors_ref[j] = jnp.dot(
         gout.astype(op_dtype), w.astype(op_dtype),
-        preferred_element_type=jnp.float32
+        preferred_element_type=jnp.float32, precision=_prec(op_dtype),
     )
 
     # transmittance chain: dL/da_k = T_k dw_k - R_k / (1 - a_k)
@@ -306,11 +349,10 @@ def _bwd_tile_body(means_ref, conics_ref, colors_ref, opac_ref,
     #   dmx   = sum dsigma*(ca*dxl + cb*dyl)  -> ca*(mxl*S0 - Sx) + ...
     #   dca   = sum 0.5*dxl^2*dsigma          -> 0.5*(mxl^2*S0 - 2*mxl*Sx + Sxx)
     #   dopac = sum (a_raw/op)*da_raw = -S0/op  (a_raw*da_raw = -dsigma)
-    m = jax.lax.dot_general(
-        _pixel_basis(tile_size, p), dsigma,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                      # [8, K]
+    m = _dot_exact_mat(
+        dsigma, _pixel_basis(tile_size, p), op_dtype, mat_lhs=True,
+        dims=(((0,), (0,)), ((), ())),
+    )  # [8, K] pixel moments of dsigma                                      # [8, K]
     s0, sx, sy = m[0:1], m[1:2], m[2:3]    # [1, K] each
     sxx, sxy, syy = m[3:4], m[4:5], m[5:6]
     gx = mxl * s0 - sx                     # sum dxl*dsigma
@@ -473,7 +515,10 @@ def _composite_bwd(num_tiles_x, tile_size, interpret, mixed_precision, res,
         ),
         interpret=_interpret_default(interpret),
     )(g_means, g_conics, g_colors, g_opac, gout, gacc)
-    return dmeans[:t], dconics[:t], dcolors[:t], dopac[:t]
+    # cotangent dtypes must match the primals (bf16 color slabs under
+    # mixed precision); the kernel accumulates f32 and re-rounds here
+    return (dmeans[:t], dconics[:t],
+            dcolors[:t].astype(res[2].dtype), dopac[:t])
 
 
 composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)
@@ -613,9 +658,10 @@ def _composite_skip_bwd(num_tiles_x, chunk_start, tile_size, interpret,
     )(_pad_counts(counts, tp), g_means, g_conics, g_colors, g_opac,
       acc_prev, gout, gacc)
     # acc_prev/counts only gate the (measure-zero) skip predicate: zero
-    # cotangents
-    return (dmeans[:t], dconics[:t], dcolors[:t], dopac[:t],
-            jnp.zeros_like(acc_prev[:t]), jnp.zeros_like(counts))
+    # cotangents. Color cotangents re-round to the (possibly bf16) primal.
+    return (dmeans[:t], dconics[:t], dcolors[:t].astype(res[2].dtype),
+            dopac[:t], jnp.zeros_like(acc_prev[:t]),
+            jnp.zeros_like(counts))
 
 
 composite_tiles_pallas_skip.defvjp(_composite_skip_fwd, _composite_skip_bwd)
@@ -723,6 +769,11 @@ def rasterize_tiles_pallas(
     # grouped segment sum instead of XLA's scalar scatter-add
     from qed_splatter_tpu.ops.segment import tile_gather_cm, tile_gather_ranked
 
+    # NOTE (negative result, round 4): splitting the gather into an f32
+    # geometry slab + bf16 color slab under mixed precision — to halve the
+    # [T, C, K] HBM bytes — measured SLOWER (54.9 vs 50.5 ms step): the
+    # TPU row gather is bound by its 1.1M indices, not bytes, so a second
+    # gather doubles the dominant cost. One packed gather stays.
     packed = jnp.concatenate(
         [means2d, conics, colors, opacities[:, None]], axis=-1
     )  # [N, 6 + D]

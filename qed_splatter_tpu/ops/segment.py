@@ -72,6 +72,7 @@ def prefix_sum_1d(x: jnp.ndarray) -> jnp.ndarray:
     within = jax.lax.dot_general(
         blocks, _tri_lower_incl(b), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
     )
     blk_pfx = jnp.cumsum(within[:, -1]) - within[:, -1]
     out = (within + blk_pfx[:, None]).reshape(-1)[:m]
@@ -108,9 +109,13 @@ def grouped_segment_sum(
     mb = rows.shape[0] // b
     x = rows.reshape(mb, b, c)
     # inclusive within-block prefix on the MXU: [Mb, C, B]
+    # HIGH (3-pass): the tri matrix is 0/1-exact but DEFAULT truncates
+    # the gradient rows themselves to one bf16 pass on TPU (0.4% noise on
+    # every parameter gradient); 3 passes put operand error at ~2^-21
     within = jax.lax.dot_general(
         x, _tri_lower_incl(b), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
     )
     blk_tot = within[:, :, -1]                       # [Mb, C]
     blk_pfx = jnp.cumsum(blk_tot, axis=0) - blk_tot  # exclusive block prefix
@@ -185,18 +190,22 @@ def _tile_gather_ranked(params, order, inv_order, tile_ranks,
 def _tgr_fwd(params, order, inv_order, tile_ranks, slab_perm, slab_bounds):
     out = _tile_gather_ranked(params, order, inv_order, tile_ranks,
                               slab_perm, slab_bounds)
-    return out, (inv_order, slab_perm, slab_bounds, params.shape[1])
+    return out, (inv_order, slab_perm, slab_bounds, params.shape[1],
+                 jnp.zeros((0,), params.dtype))
 
 
 def _tgr_bwd(res, g):
-    inv_order, perm, bounds, c = res
+    inv_order, perm, bounds, c, dt_carrier = res
+    dt = dt_carrier.dtype
     # g: [T, C, K] -> slot-major rows [T*K, C]; padded slots (rank -1)
     # group to the tail (sentinel rank N) beyond bounds[N], so the boundary
     # diff drops them exactly. Result rows are in rank space; the final
-    # row gather by inv_order returns them to gaussian-id space.
+    # row gather by inv_order returns them to gaussian-id space. The
+    # reduction itself runs f32 regardless of the slab dtype (bf16 slabs
+    # under mixed precision); only the returned cotangent is re-rounded.
     rows = g.transpose(0, 2, 1).reshape(-1, c)
     by_rank = permuted_segment_sum(rows, perm, bounds)
-    return by_rank[inv_order], None, None, None, None, None
+    return by_rank[inv_order].astype(dt), None, None, None, None, None
 
 
 _tile_gather_ranked.defvjp(_tgr_fwd, _tgr_bwd)
@@ -212,18 +221,20 @@ def _tgra_fwd(params, absgrad_seed, order, inv_order, tile_ranks,
               slab_perm, slab_bounds):
     out = _tile_gather_ranked_abs(params, absgrad_seed, order, inv_order,
                                   tile_ranks, slab_perm, slab_bounds)
-    return out, (inv_order, slab_perm, slab_bounds, params.shape[1])
+    return out, (inv_order, slab_perm, slab_bounds, params.shape[1],
+                 jnp.zeros((0,), params.dtype))
 
 
 def _tgra_bwd(res, g):
-    inv_order, perm, bounds, c = res
+    inv_order, perm, bounds, c, dt_carrier = res
+    dt = dt_carrier.dtype
     rows = g.transpose(0, 2, 1).reshape(-1, c)
     rows = jnp.concatenate([rows, jnp.zeros((1, c), rows.dtype)])[perm]
     by_rank = grouped_segment_sum(rows, bounds)
     # absgrad: per-gaussian sums of |slab screen-mean cotangents| — the
     # first two channels of the already-gathered rows
     abs_rank = grouped_segment_sum(jnp.abs(rows[:, :2]), bounds)
-    return (by_rank[inv_order], abs_rank[inv_order],
+    return (by_rank[inv_order].astype(dt), abs_rank[inv_order],
             None, None, None, None, None)
 
 

@@ -17,6 +17,7 @@ model.py:261-282). Semantics reproduced:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Real SH basis constants (same basis as the 3DGS/gsplat kernels).
@@ -113,5 +114,6 @@ def eval_sh_colors(
     basis = eval_sh_basis(d, max_degree)  # [N, K]
     mask = degree_band_mask(active_degree, max_degree, dtype=basis.dtype)
     basis = basis * mask[None, :]
-    colors = jnp.einsum("nk,nkc->nc", basis, coeffs) + 0.5
+    colors = jnp.einsum("nk,nkc->nc", basis, coeffs,
+                        precision=jax.lax.Precision.HIGHEST) + 0.5
     return jnp.maximum(colors, 0.0)

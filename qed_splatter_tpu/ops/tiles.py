@@ -151,12 +151,25 @@ def bin_gaussians(
     keys_small = expand(all_rows, 0, tpg_small)             # [tpg_small, N]
     if n_big > 0:
         big = area > tpg_small
-        # front-most big gaussians claim the overflow rows
-        sel_key = jnp.where(big, all_rows, n + all_rows)
-        big_sel = jnp.argsort(sel_key)[:n_big].astype(jnp.int32)
-        keys_big = expand(big_sel, tpg_small, tpg_big)      # [tpg_big, n_big]
-        # truncated: big but unselected, or selected with area beyond budget
+        # Front-most big gaussians claim the overflow rows. Selecting "the
+        # j-th big row in depth order" needs no sort (an argsort here
+        # measured ~3.5 ms at 131k — as much as the 1.5M-pair main sort):
+        # pos = big ordinal per row, runmax = running max of the masked
+        # ordinals is nondecreasing, so row of ordinal j = first position
+        # where runmax >= j (an 8k-query searchsorted).
         pos = jnp.cumsum(big.astype(jnp.int32)) - 1
+        runmax = jax.lax.cummax(jnp.where(big, pos, -1))
+        big_sel = jnp.searchsorted(
+            runmax, jnp.arange(n_big, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        n_bigs_total = jnp.where(n > 0, pos[-1] + 1, 0)
+        sel_valid = jnp.arange(n_big, dtype=jnp.int32) < n_bigs_total
+        big_sel = jnp.minimum(big_sel, n - 1)  # tail rows: masked below
+        keys_big = expand(big_sel, tpg_small, tpg_big)      # [tpg_big, n_big]
+        # tail slots past the last real big row would re-expand a clamped
+        # duplicate; the sentinel key drops them before the sort
+        keys_big = jnp.where(sel_valid[None, :], keys_big, num_tiles)
+        # truncated: big but unselected, or selected with area beyond budget
         unselected = big & (pos >= n_big)
         over_budget = big & (pos < n_big) & (area > tpg)
         num_truncated = jnp.sum(unselected | over_budget).astype(jnp.int32)
