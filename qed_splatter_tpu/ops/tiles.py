@@ -100,8 +100,37 @@ def bin_gaussians(
     num_tiles = num_tiles_x * num_tiles_y
 
     culled = radii <= 0
-    depth_key = jnp.where(culled, jnp.inf, depths)
-    order = jnp.argsort(depth_key).astype(jnp.int32)  # front-to-back, valid first
+    # Depth ordering without an f32 argsort (measured ~2.5-3.5 ms at 131k —
+    # as much as the 1.5M-pair main sort): quantize log-depth to the key
+    # bits left over by the index and run ONE u32 single-operand sort whose
+    # low bits ARE the order. Quantization granularity at >= 10 depth bits
+    # is <= 0.4% of the scene's log-depth span per bucket; ordering of
+    # splats within the same bucket falls back to index order — a
+    # self-consistent compositing order (the same binning drives forward
+    # and backward), differing from exact f32 depth order only for pairs
+    # whose mutual occlusion is negligible. gsplat's radix sort is exact
+    # here; this is a deliberate approximation for TPU sort economics.
+    idx_bits = max((n - 1).bit_length(), 1)
+    dq_bits = 32 - idx_bits
+    if dq_bits >= 10:
+        valid = ~culled
+        finite_d = jnp.where(valid, depths, jnp.nan)
+        lo = jnp.log(jnp.maximum(jnp.nanmin(finite_d), 1e-6))
+        hi = jnp.log(jnp.maximum(jnp.nanmax(finite_d), 1e-6))
+        levels = (1 << dq_bits) - 2   # top bucket reserved for culled
+        t = (jnp.log(jnp.maximum(depths, 1e-6)) - lo) / jnp.maximum(
+            hi - lo, 1e-9
+        )
+        q = jnp.clip((t * levels).astype(jnp.int32), 0, levels - 1)
+        q = jnp.where(valid, q, levels + 1).astype(jnp.uint32)
+        packed_key = (q << idx_bits) | jnp.arange(n, dtype=jnp.uint32)
+        order = (
+            jax.lax.sort(packed_key, dimension=0, is_stable=False)
+            & ((jnp.uint32(1) << idx_bits) - 1)
+        ).astype(jnp.int32)
+    else:
+        depth_key = jnp.where(culled, jnp.inf, depths)
+        order = jnp.argsort(depth_key).astype(jnp.int32)
 
     # one packed row gather (four separate column gathers cost ~1 ms each)
     packed_cols = jnp.concatenate(
