@@ -7,9 +7,12 @@ rasterize (Pallas on TPU) -> photometric+depth loss -> analytic adjoint ->
 per-group Adam + absgrad stats) at TWO workload points:
 
 - canonical (the headline): 131k-capacity / 80k alive gaussians, one
-  1296x840 camera per step, K=256 (lossless here: the scene peaks well
-  under 256 per tile) — the workload shape of BASELINE.json config #2
-  (nerfstudio-scene class).
+  1296x840 camera per step, K=256. NOTE (corrected round 4): this
+  synthetic scene's peak tile count is 697 with mean 168
+  (tools/probe_k.py), so K=256 truncates the back-most splats of the
+  densest tiles — the trainer's adaptive-K would escalate K here; the
+  K=1024 regime is covered by the dense row below. The workload shape
+  matches BASELINE.json config #2 (nerfstudio-scene class).
 - dense (reported in "extra"): 288k alive / 320k capacity, K=1024 —
   the adaptive-K regime an evolved full-budget room run actually reaches
   (round-2 verdict: the headline config alone under-represented the

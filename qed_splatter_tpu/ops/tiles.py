@@ -27,10 +27,13 @@ Tile size 16 matches the reference (model.py:243 BLOCK_WIDTH = 16).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 class TileBinning(NamedTuple):
@@ -56,6 +59,100 @@ class TileBinning(NamedTuple):
     # skipping the [T, K] rank->id decode gather (~7 ms at 1.1M slots).
     tile_ranks: jnp.ndarray    # [T, K] int32 depth ranks, -1 pad
     inv_order: jnp.ndarray     # [N] int32: rank of each gaussian id
+
+
+_HBM_TILE = 1024  # Mosaic tiling granule of a 1-D HBM memref
+
+
+def _slab_kernel(blk_ref, off_ref, *refs, tb, rows):
+    """Extract ``tb`` K-wide windows at unaligned offsets from aligned
+    1024-element HBM blocks. Window j spans HBM blocks blk[i] and
+    blk[i]+1 (pipelined in as refs[2j], refs[2j+1], each a [1, 8, 128]
+    VMEM view); the unaligned start is recovered in-register with ONE
+    dynamic-lane rotate + sublane select per window."""
+    out_ref, cat_ref = refs[-2], refs[-1]
+    g = pl.program_id(0)
+    for j in range(tb):
+        i = g * tb + j
+        o = off_ref[i]
+        # dynamic sublane slicing needs a Ref: stage the two blocks into
+        # a [16, 128] VMEM scratch first
+        cat_ref[:8] = refs[2 * j][0]
+        cat_ref[8:] = refs[2 * j + 1][0]
+        w = cat_ref[pl.ds(o // 128, rows + 1), :]            # [rows+1, 128]
+        # left-rotate every row by l: ra[r, i2] = w[r, (i2 + l) % 128];
+        # row r of the output is ra[r] for lanes < 128-l and ra[r+1]
+        # (whose rotated head is w[r+1, :l]) for the tail lanes
+        l = o % 128
+        ra = pltpu.roll(w, -l, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        out_ref[j] = jnp.where(lane < 128 - l, ra[:rows], ra[1:])
+
+
+def slab_gather_unaligned(
+    sorted_keys: jnp.ndarray,   # [M] u32/i32, ascending
+    starts: jnp.ndarray,        # [T] i32 window starts (arbitrary)
+    k: int,                     # window length, multiple of 128, <= 1024
+    fill: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[T, k] windows ``sorted_keys[starts[t] : starts[t]+k]`` via Pallas.
+
+    XLA lowers this variable-offset slice gather to a per-slice loop
+    (5.6 ms at T=4293/K=256 on a v5e — the most expensive sub-stage of
+    binning, tools/bench_binning.py). Mosaic rejects unaligned 1-D HBM
+    slices (tiling granule 1024), so each window is fetched as its two
+    covering aligned 1024-blocks — block indices scalar-prefetched into
+    the BlockSpec index maps (the block-sparse pattern) — and the
+    unaligned start is recovered with a dynamic-lane rotate. ~34 MB of
+    aligned DMA instead of 4293 serial slice descriptors.
+    """
+    t = starts.shape[0]
+    rows = k // 128
+    assert k % 128 == 0 and 1 <= rows <= 8
+    tb = 8
+    t_pad = -(-t // tb) * tb
+    m = sorted_keys.shape[0]
+    n_blocks = m // _HBM_TILE + 2
+    keys_i32 = jax.lax.bitcast_convert_type(sorted_keys, jnp.int32) \
+        if sorted_keys.dtype != jnp.int32 else sorted_keys
+    src = jnp.pad(keys_i32, (0, n_blocks * _HBM_TILE - m),
+                  constant_values=fill).reshape(n_blocks, 8, 128)
+    starts_p = jnp.pad(starts.astype(jnp.int32), (0, t_pad - t))
+    blk = starts_p // _HBM_TILE
+    off = starts_p % _HBM_TILE
+
+    def mk_index(jj, plus):
+        return lambda g, blk_ref, off_ref: (blk_ref[g * tb + jj] + plus, 0, 0)
+
+    in_specs = []
+    for j in range(tb):
+        in_specs.append(pl.BlockSpec((1, 8, 128), mk_index(j, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, 8, 128), mk_index(j, 1),
+                                     memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        functools.partial(_slab_kernel, tb=tb, rows=rows),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(t_pad // tb,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (tb, rows, 128), lambda g, *_: (g, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((16, 128), jnp.int32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((t_pad, rows, 128), jnp.int32),
+        interpret=interpret,
+    )(blk, off, *([src] * (2 * tb)))
+    out = out.reshape(t_pad, k)[:t]
+    if sorted_keys.dtype != jnp.int32:
+        out = jax.lax.bitcast_convert_type(out, sorted_keys.dtype)
+    return out
+
+
+def _use_pallas_slab() -> bool:
+    return jax.default_backend() == "tpu"
 
 
 def bin_gaussians(
@@ -241,23 +338,31 @@ def bin_gaussians(
             side="left",
         ).astype(jnp.int32)
         counts = boundaries[1:] - boundaries[:-1]           # [T]
-        # contiguous per-tile K-wide slices as ONE gather op — a vmapped
-        # dynamic_slice lowers to a 4293-iteration while loop (~4.7 ms)
-        padded = jnp.concatenate(
-            [packed_sorted,
-             jnp.full((max_per_tile,), jnp.iinfo(jnp.uint32).max,
-                      jnp.uint32)]
-        )
-        slabs = jax.lax.gather(
-            padded,
-            boundaries[:-1, None],
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(1,), collapsed_slice_dims=(),
-                start_index_map=(0,),
-            ),
-            slice_sizes=(max_per_tile,),
-            mode=jax.lax.GatherScatterMode.CLIP,
-        )                                                   # [T, K]
+        if max_per_tile % 128 == 0 and max_per_tile <= 1024 \
+                and _use_pallas_slab():
+            # Pallas aligned-block window gather (see slab_gather_unaligned)
+            slabs = slab_gather_unaligned(
+                packed_sorted, boundaries[:-1], max_per_tile,
+                fill=-1,  # i32 view of 0xFFFFFFFF = u32 sentinel
+            )
+        else:
+            # contiguous per-tile K-wide slices as ONE gather op — a vmapped
+            # dynamic_slice lowers to a 4293-iteration while loop (~4.7 ms)
+            padded = jnp.concatenate(
+                [packed_sorted,
+                 jnp.full((max_per_tile,), jnp.iinfo(jnp.uint32).max,
+                          jnp.uint32)]
+            )
+            slabs = jax.lax.gather(
+                padded,
+                boundaries[:-1, None],
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(1,), collapsed_slice_dims=(),
+                    start_index_map=(0,),
+                ),
+                slice_sizes=(max_per_tile,),
+                mode=jax.lax.GatherScatterMode.CLIP,
+            )                                               # [T, K]
         in_range = k_idx < jnp.minimum(counts[:, None], max_per_tile)
         ranks = jnp.where(
             in_range,
