@@ -152,6 +152,10 @@ def slab_gather_unaligned(
 
 
 def _use_pallas_slab() -> bool:
+    import os
+
+    if os.environ.get("QED_NO_PALLAS_SLAB"):  # A/B escape hatch
+        return False
     return jax.default_backend() == "tpu"
 
 

@@ -8,7 +8,7 @@ import pytest
 from qed_splatter_tpu.ops.tiles import slab_gather_unaligned
 
 
-@pytest.mark.parametrize("k", [128, 256, 512])
+@pytest.mark.parametrize("k", [128, 256, 512, 1024])
 def test_slab_gather_unaligned_matches_slices(k):
     rng = np.random.default_rng(0)
     m, t = 50_000, 333
