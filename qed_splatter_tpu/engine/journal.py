@@ -69,18 +69,32 @@ class AttemptJournal:
         return out
 
     def crashed(self) -> List[Dict]:
-        """All unmatched attempts — one per crash the journal witnessed.
+        """All unmatched attempts — one per distinct crashed configuration.
 
-        Unmatched records are deliberately never cleared: a configuration
-        that killed the worker once must stay refused across EVERY later
-        restart (the startup policy re-applies idempotently), not just the
-        first one after the crash.
+        Unmatched records are deliberately never cleared: the startup
+        policy re-reads them idempotently on every restart; whether a
+        crashed configuration is refused or granted amnesty is the
+        policy's decision (``Trainer._apply_crash_policy``), keyed on the
+        crash COUNT (see ``crashed_with_counts``).
         """
-        pending: Dict[tuple, Dict] = {}
+        return [rec for rec, _ in self.crashed_with_counts()]
+
+    def crashed_with_counts(self) -> List[tuple]:
+        """``[(record, net_crash_count)]`` per distinct configuration.
+
+        net = attempts - oks (floored at 0): a config that was attempted,
+        completed, then attempted again and died counts ONE crash. The
+        count is the evidence grade the crash policy needs — one crash may
+        be a co-tenant stealing the shared chip (round-3 finding), but the
+        same configuration dying twice is deterministic-OOM evidence.
+        """
+        counts: Dict[tuple, int] = {}
+        last: Dict[tuple, Dict] = {}
         for rec in self.records():
             k = _key_of(rec)
             if rec.get("event") == "attempt":
-                pending[k] = rec
+                counts[k] = counts.get(k, 0) + 1
+                last[k] = rec
             elif rec.get("event") == "ok":
-                pending.pop(k, None)
-        return list(pending.values())
+                counts[k] = counts.get(k, 0) - 1
+        return [(last[k], c) for k, c in counts.items() if c > 0]

@@ -71,6 +71,22 @@ def test_journal_matched_and_unmatched(tmp_path):
     assert len(j.crashed()) == 2
 
 
+def test_journal_crash_counts(tmp_path):
+    """crashed_with_counts grades the evidence: net = attempts - oks per
+    configuration, so attempt/ok/attempt-crash counts ONE crash and a
+    twice-killed config counts two (the amnesty threshold)."""
+    j = AttemptJournal(tmp_path / "j.jsonl")
+    key = dict(kind="step", capacity=200, d=1, k=512)
+    j.attempt(**key)
+    j.ok(**key)
+    j.attempt(**key)
+    [(rec, n)] = j.crashed_with_counts()
+    assert rec["capacity"] == 200 and n == 1
+    j.attempt(**key)  # amnesty retry also died
+    [(rec, n)] = j.crashed_with_counts()
+    assert n == 2
+
+
 def test_journal_survives_torn_tail_write(tmp_path):
     j = AttemptJournal(tmp_path / "j.jsonl")
     j.attempt(kind="step", capacity=100, d=1, k=512)
@@ -97,6 +113,8 @@ def test_crash_policy_refuses_crashed_capacity(dataset, tmp_path):
     probe = Trainer(cfg)  # just to learn the fresh capacity
     cap = int(probe.state.params.capacity)
     j = AttemptJournal(_run_dir(cfg) / "attempt_journal.jsonl")
+    # two unmatched attempts: past the default journal_retry=1 amnesty
+    j.attempt(kind="step", capacity=2 * cap, d=1, k=64, chunk=10)
     j.attempt(kind="step", capacity=2 * cap, d=1, k=64, chunk=10)
 
     t = Trainer(cfg)
@@ -126,6 +144,7 @@ def test_crash_policy_caps_bucket_k(dataset, tmp_path):
     cap = int(probe.state.params.capacity)
     j = AttemptJournal(_run_dir(cfg) / "attempt_journal.jsonl")
     j.attempt(kind="step", capacity=cap, d=1, k=512, chunk=10)
+    j.attempt(kind="step", capacity=cap, d=1, k=512, chunk=10)
 
     t = Trainer(cfg)
     assert t._k_crash_cap[1] == 256
@@ -144,9 +163,42 @@ def test_crash_policy_caps_eval_k(dataset, tmp_path):
     cap = int(probe.state.params.capacity)
     j = AttemptJournal(_run_dir(cfg) / "attempt_journal.jsonl")
     j.attempt(kind="eval", capacity=cap, k=2048, w=64, h=48)
+    j.attempt(kind="eval", capacity=cap, k=2048, w=64, h=48)
     t = Trainer(cfg)
     assert t._eval_k_cap == 1024
     assert t._k_eval(1) <= 1024
+
+
+def test_crash_policy_amnesty_then_permanent_refusal(dataset, tmp_path):
+    """VERDICT r4 weak #4: a config killed ONCE (possibly by a co-tenant
+    stealing the shared chip) is re-attempted under the default
+    journal_retry=1; the same config dying a second time is refused on
+    every later restart."""
+    cfg = _cfg(dataset, tmp_path)
+    probe = Trainer(cfg)
+    cap = int(probe.state.params.capacity)
+    j = AttemptJournal(_run_dir(cfg) / "attempt_journal.jsonl")
+    j.attempt(kind="step", capacity=2 * cap, d=1, k=64, chunk=10)
+
+    t = Trainer(cfg)  # one crash -> amnesty: growth NOT refused
+    assert (2 * cap) not in t._grow_refused
+
+    j.attempt(kind="step", capacity=2 * cap, d=1, k=64, chunk=10)
+    t2 = Trainer(cfg)  # second crash -> permanent refusal
+    assert (2 * cap) in t2._grow_refused
+    t3 = Trainer(cfg)  # idempotent across restarts
+    assert (2 * cap) in t3._grow_refused
+
+
+def test_crash_policy_journal_retry_zero_is_strict(dataset, tmp_path):
+    """journal_retry=0 restores refuse-on-first-crash."""
+    cfg = dataclasses.replace(_cfg(dataset, tmp_path), journal_retry=0)
+    probe = Trainer(cfg)
+    cap = int(probe.state.params.capacity)
+    j = AttemptJournal(_run_dir(cfg) / "attempt_journal.jsonl")
+    j.attempt(kind="step", capacity=2 * cap, d=1, k=64, chunk=10)
+    t = Trainer(cfg)
+    assert (2 * cap) in t._grow_refused
 
 
 # ------------------------------------------------------ journaled dispatch
@@ -247,9 +299,14 @@ def test_growth_canary_device_loss_reraises(dataset, tmp_path):
     t._dispatch_journaled = dying
     with pytest.raises(RuntimeError, match="UNAVAILABLE"):
         t.train(max_steps=40, finalize=False)
-    # a fresh trainer (the supervisor's restart) refuses the capacity
+    # first kill -> the restart grants amnesty (journal_retry=1 default)
     t2 = Trainer(cfg)
-    assert (2 * cap) in t2._grow_refused
+    assert (2 * cap) not in t2._grow_refused
+    # the amnesty re-attempt dying too makes the refusal permanent
+    [crashed] = t._journal.crashed()
+    t._journal.attempt(**{k: v for k, v in crashed.items() if k != "event"})
+    t3 = Trainer(cfg)
+    assert (2 * cap) in t3._grow_refused
 
 
 # ------------------------------------------------------------- supervisor
