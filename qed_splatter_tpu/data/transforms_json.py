@@ -5,7 +5,8 @@ reference's subclass behavior (reference dataparser.py:13-74):
 
 - global + per-frame intrinsics (fl_x/fl_y/cx/cy, w/h, distortion params),
 - OpenGL c2w poses from ``transform_matrix`` (4x4 or 3x4),
-- pose orientation ("up"/"pca"/"none"), centering ("poses"/"focus"/"none"),
+- pose orientation ("up"/"vertical"/"pca"/"none"), centering
+  ("poses"/"focus"/"none"),
   auto-scaling to the unit box — with the unscaled-scene switches the
   reference documents (dataparser.py:16-18, README.md:20-25),
 - train/eval split (fraction / interval / all),
@@ -105,6 +106,23 @@ def auto_orient_and_center_poses(
     if method == "up" or method == "vertical":
         up = poses[:, :3, 1].mean(0)
         up = up / np.linalg.norm(up)
+        if method == "vertical":
+            # nerfstudio's "vertical" (the 4th option of the reference
+            # setup snippet, /root/reference/README.md:20-25): gravity is
+            # the direction most orthogonal to every camera RIGHT axis —
+            # hand-held cameras tilt up/down freely but rarely roll, so
+            # their x-axes stay near-horizontal. Solve
+            # min_{|v|=1} sum_i (x_i . v)^2 = smallest right-singular
+            # vector of the stacked x-axes; fall back to mean-up when the
+            # x-axes are degenerate (all parallel: rank < 2), and
+            # sign-align with mean up.
+            x_axes = poses[:, :3, 0]
+            _, s, vh = np.linalg.svd(x_axes, full_matrices=False)
+            if s.shape[0] == 3 and s[1] > 1e-17:
+                vertical = vh[2, :]
+                if np.dot(vertical, up) < 0:
+                    vertical = -vertical
+                up = vertical / np.linalg.norm(vertical)
         rotation = _rotation_between(up, np.array([0.0, 0.0, 1.0]))
     elif method == "pca":
         centered = origins - origins.mean(0)

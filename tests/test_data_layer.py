@@ -76,6 +76,54 @@ def test_orient_up_aligns_mean_up():
     np.testing.assert_allclose(new[:, :3, 3].mean(0), 0.0, atol=1e-8)
 
 
+def test_orient_vertical_recovers_gravity():
+    """"vertical" (reference README.md:20-25 knob list) must recover the
+    true gravity axis from the camera RIGHT axes even when every camera
+    pitches up/down (mean-up biased away from vertical), as long as the
+    cameras do not roll — the hand-held regime the method exists for."""
+    rng = np.random.default_rng(3)
+    true_vertical = np.array([0.1, -0.2, 0.97])
+    true_vertical /= np.linalg.norm(true_vertical)
+    poses = []
+    for _ in range(12):
+        # a level camera frame w.r.t. true_vertical, then pitch it up by a
+        # common positive angle (biases mean-up, keeps x horizontal)
+        fwd = rng.normal(0, 1, 3)
+        fwd -= true_vertical * (fwd @ true_vertical)
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross(fwd, true_vertical)
+        right /= np.linalg.norm(right)
+        pitch = 0.5 + 0.2 * rng.uniform()  # all cameras look upward
+        fwd_p = np.cos(pitch) * fwd + np.sin(pitch) * true_vertical
+        up_p = np.cross(right, fwd_p)
+        c2w = np.eye(4)
+        c2w[:3, 0] = right
+        c2w[:3, 1] = up_p
+        c2w[:3, 2] = -fwd_p  # OpenGL: camera looks down -z
+        c2w[:3, 3] = rng.normal(0, 1, 3)
+        poses.append(c2w)
+    poses = np.stack(poses)
+
+    t_up = auto_orient_and_center_poses(poses, "up", "none")
+    t_vert = auto_orient_and_center_poses(poses, "vertical", "none")
+    # "up" is biased by the common pitch; "vertical" recovers gravity
+    assert np.linalg.norm(t_up[:3, :3] @ true_vertical - [0, 0, 1]) > 0.3
+    np.testing.assert_allclose(
+        t_vert[:3, :3] @ true_vertical, [0, 0, 1], atol=1e-6
+    )
+
+
+def test_orient_vertical_degenerate_falls_back_to_up():
+    """All-parallel x-axes (a pure camera sweep) leave gravity unobservable
+    from the right axes; "vertical" must then behave like "up"."""
+    poses = np.stack(
+        [orbit_c2w_opengl(3.0, 0.0, 0.3).astype(np.float64)] * 6
+    )
+    t_up = auto_orient_and_center_poses(poses, "up", "none")
+    t_vert = auto_orient_and_center_poses(poses, "vertical", "none")
+    np.testing.assert_allclose(t_vert, t_up, atol=1e-9)
+
+
 def test_orient_none_identity():
     poses = np.stack(
         [orbit_c2w_opengl(3.0, a, 0.1).astype(np.float64) for a in (0.0, 0.4)]
