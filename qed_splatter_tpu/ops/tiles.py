@@ -28,7 +28,7 @@ Tile size 16 matches the reference (model.py:243 BLOCK_WIDTH = 16).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -91,12 +91,20 @@ def _slab_kernel(blk_ref, off_ref, *refs, tb, rows):
 
 def slab_gather_unaligned(
     sorted_keys: jnp.ndarray,   # [M] u32/i32, ascending
-    starts: jnp.ndarray,        # [T] i32 window starts (arbitrary)
+    starts: jnp.ndarray,        # [T] i32 window starts, in [0, M]
     k: int,                     # window length, multiple of 128, <= 1024
     fill: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """[T, k] windows ``sorted_keys[starts[t] : starts[t]+k]`` via Pallas.
+
+    Precondition: ``starts`` must lie in [0, M] (``bin_gaussians`` passes
+    searchsorted boundaries, which always do). A start outside that range
+    would make the scalar-prefetched block index map point past ``src`` —
+    an out-of-bounds DMA with undefined contents — so starts are clamped
+    here as defense in depth (ADVICE r4); out-of-range callers get
+    in-bounds garbage windows, not UB. Elements past M read the ``fill``
+    padding.
 
     XLA lowers this variable-offset slice gather to a per-slice loop
     (5.6 ms at T=4293/K=256 on a v5e — the most expensive sub-stage of
@@ -118,7 +126,9 @@ def slab_gather_unaligned(
         if sorted_keys.dtype != jnp.int32 else sorted_keys
     src = jnp.pad(keys_i32, (0, n_blocks * _HBM_TILE - m),
                   constant_values=fill).reshape(n_blocks, 8, 128)
-    starts_p = jnp.pad(starts.astype(jnp.int32), (0, t_pad - t))
+    starts_p = jnp.pad(
+        jnp.clip(starts.astype(jnp.int32), 0, m), (0, t_pad - t)
+    )
     blk = starts_p // _HBM_TILE
     off = starts_p % _HBM_TILE
 
@@ -152,9 +162,17 @@ def slab_gather_unaligned(
 
 
 def _use_pallas_slab() -> bool:
+    """A/B escape hatch for the Pallas slab gather.
+
+    Read at TRACE time (ADVICE r4): setting ``QED_NO_PALLAS_SLAB`` after a
+    caller has already been jit-compiled has no effect on that cached
+    executable — set it before the first trace (bench tools do; the CLI
+    reads the environment at process start). ``jax.default_backend()`` is
+    likewise the trace-time default; under explicit non-default device
+    placement pass ``use_pallas=False`` to ``bin_gaussians`` instead."""
     import os
 
-    if os.environ.get("QED_NO_PALLAS_SLAB"):  # A/B escape hatch
+    if os.environ.get("QED_NO_PALLAS_SLAB"):
         return False
     return jax.default_backend() == "tpu"
 
@@ -172,6 +190,7 @@ def bin_gaussians(
     small_tiles_per_gaussian: int = 8,
     overflow_slots: int = 0,
     with_id_lists: bool = True,
+    use_pallas: Optional[bool] = None,
 ) -> TileBinning:
     """Build per-tile front-to-back gaussian lists (single camera).
 
@@ -342,8 +361,9 @@ def bin_gaussians(
             side="left",
         ).astype(jnp.int32)
         counts = boundaries[1:] - boundaries[:-1]           # [T]
-        if max_per_tile % 128 == 0 and max_per_tile <= 1024 \
-                and _use_pallas_slab():
+        pallas_ok = use_pallas if use_pallas is not None \
+            else _use_pallas_slab()
+        if max_per_tile % 128 == 0 and max_per_tile <= 1024 and pallas_ok:
             # Pallas aligned-block window gather (see slab_gather_unaligned)
             slabs = slab_gather_unaligned(
                 packed_sorted, boundaries[:-1], max_per_tile,
