@@ -127,6 +127,26 @@ def grouped_segment_sum(
     return cs[1:] - cs[:-1]
 
 
+def force_rowmajor(x: jnp.ndarray) -> jnp.ndarray:
+    """Materialize [M, C] rows in standard (row-major) layout.
+
+    The VJP's slab cotangent rows reach the permutation gather through a
+    [T, C, K] -> transpose -> reshape chain that XLA layout assignment
+    keeps as a column-major bitcast — and then runs the 1.2M-row gather on
+    the {0,1}-layout operand at 7.9 ms/step, while the forward's
+    row-major twin of the SAME gather takes 1.45 ms (round-5 profiler,
+    outputs/profile_r5.md). An identity matmul forces a standard-layout
+    materialization; f32 x 0/1-identity at HIGHEST is bitexact (the hi
+    split carries x exactly, the remainder splits are exact zeros) and the
+    copy costs ~0.6 ms for 50 MB — a 5x win on the gather it feeds."""
+    eye = jnp.eye(x.shape[1], dtype=jnp.float32)
+    return jax.lax.dot_general(
+        x.astype(jnp.float32), eye, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
 def permuted_segment_sum(
     values_flat: jnp.ndarray,  # [M, C] slab rows (slot-major)
     perm: jnp.ndarray,         # [>=M] int32 slot indices grouped by segment;
@@ -138,8 +158,8 @@ def permuted_segment_sum(
     permutation may interleave marker entries (index == M) that gather a
     padded zero row and contribute nothing."""
     padded = jnp.concatenate(
-        [values_flat, jnp.zeros((1, values_flat.shape[1]),
-                                values_flat.dtype)]
+        [force_rowmajor(values_flat),
+         jnp.zeros((1, values_flat.shape[1]), values_flat.dtype)]
     )
     return grouped_segment_sum(padded[perm], bounds)
 
@@ -228,7 +248,7 @@ def _tgra_fwd(params, absgrad_seed, order, inv_order, tile_ranks,
 def _tgra_bwd(res, g):
     inv_order, perm, bounds, c, dt_carrier = res
     dt = dt_carrier.dtype
-    rows = g.transpose(0, 2, 1).reshape(-1, c)
+    rows = force_rowmajor(g.transpose(0, 2, 1).reshape(-1, c))
     rows = jnp.concatenate([rows, jnp.zeros((1, c), rows.dtype)])[perm]
     by_rank = grouped_segment_sum(rows, bounds)
     # absgrad: per-gaussian sums of |slab screen-mean cotangents| — the

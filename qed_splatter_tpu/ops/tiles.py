@@ -279,13 +279,22 @@ def bin_gaussians(
         intermediates are lane-aligned (a [N, 8] layout pads 8 lanes to 128
         and runs the whole expansion at 1/16 vector efficiency; measured
         12 ms -> ~1 ms at 131k x 8).
+
+        ``rows=None`` means the identity (all N depth positions): XLA does
+        NOT simplify ``x[arange(n)]`` and the seven per-column identity
+        gathers it emitted cost 0.94 ms EACH on a v5e (6.5 ms of a 44 ms
+        step, round-5 profiler finding) — index directly instead.
         """
         j = j0 + jnp.arange(tpg_rows, dtype=jnp.int32)[:, None]   # [J, 1]
-        mxr, myr, rr = mx[rows][None], my[rows][None], r[rows][None]
-        bw_safe = jnp.maximum(bw[rows], 1)[None]                  # [1, I]
-        tx = x0[rows][None] + j % bw_safe
-        ty = y0[rows][None] + j // bw_safe
-        pair_valid = j < area[rows][None]
+
+        def sel(arr):
+            return arr[None] if rows is None else arr[rows][None]
+
+        mxr, myr, rr = sel(mx), sel(my), sel(r)
+        bw_safe = jnp.maximum(sel(bw), 1)                         # [1, I]
+        tx = sel(x0) + j % bw_safe
+        ty = sel(y0) + j // bw_safe
+        pair_valid = j < sel(area)
         cx = jnp.clip(mxr, tx.astype(means2d.dtype) * tile_size,
                       (tx + 1).astype(means2d.dtype) * tile_size)
         cy = jnp.clip(myr, ty.astype(means2d.dtype) * tile_size,
@@ -297,21 +306,25 @@ def bin_gaussians(
                          num_tiles).astype(jnp.int32)             # [J, I]
 
     all_rows = jnp.arange(n, dtype=jnp.int32)
-    keys_small = expand(all_rows, 0, tpg_small)             # [tpg_small, N]
+    keys_small = expand(None, 0, tpg_small)                 # [tpg_small, N]
     if n_big > 0:
         big = area > tpg_small
-        # Front-most big gaussians claim the overflow rows. Selecting "the
-        # j-th big row in depth order" needs no sort (an argsort here
-        # measured ~3.5 ms at 131k — as much as the 1.5M-pair main sort):
-        # pos = big ordinal per row, runmax = running max of the masked
-        # ordinals is nondecreasing, so row of ordinal j = first position
-        # where runmax >= j (an 8k-query searchsorted).
-        pos = jnp.cumsum(big.astype(jnp.int32)) - 1
-        runmax = jax.lax.cummax(jnp.where(big, pos, -1))
-        big_sel = jnp.searchsorted(
-            runmax, jnp.arange(n_big, dtype=jnp.int32), side="left"
+        # Front-most big gaussians claim the overflow rows: "the j-th big
+        # row in depth order" = the j-th entry of ONE compaction sort with
+        # key (not-big, depth-position) — big rows sort to the front in
+        # depth order. (The previous cumsum/cummax + 8k-query searchsorted
+        # formulation cost 2.1 ms/step in XLA's vmapped binary-search
+        # while loop, round-5 profiler; the N-element u32 sort is ~0.5 ms.)
+        nb_bits = max((n - 1).bit_length(), 1)
+        sel_key = (
+            (jnp.where(big, jnp.uint32(0), jnp.uint32(1)) << nb_bits)
+            | jnp.arange(n, dtype=jnp.uint32)
+        )
+        big_sel = (
+            jax.lax.sort(sel_key, dimension=0, is_stable=False)[:n_big]
+            & ((jnp.uint32(1) << nb_bits) - 1)
         ).astype(jnp.int32)
-        n_bigs_total = jnp.where(n > 0, pos[-1] + 1, 0)
+        n_bigs_total = jnp.sum(big).astype(jnp.int32)
         sel_valid = jnp.arange(n_big, dtype=jnp.int32) < n_bigs_total
         big_sel = jnp.minimum(big_sel, n - 1)  # tail rows: masked below
         keys_big = expand(big_sel, tpg_small, tpg_big)      # [tpg_big, n_big]
@@ -319,9 +332,11 @@ def bin_gaussians(
         # duplicate; the sentinel key drops them before the sort
         keys_big = jnp.where(sel_valid[None, :], keys_big, num_tiles)
         # truncated: big but unselected, or selected with area beyond budget
-        unselected = big & (pos >= n_big)
-        over_budget = big & (pos < n_big) & (area > tpg)
-        num_truncated = jnp.sum(unselected | over_budget).astype(jnp.int32)
+        unselected = jnp.maximum(n_bigs_total - n_big, 0)
+        over_budget = jnp.sum(
+            sel_valid & (area[big_sel] > tpg)
+        ).astype(jnp.int32)
+        num_truncated = unselected + over_budget
         keys = jnp.concatenate([keys_small.reshape(-1), keys_big.reshape(-1)])
         rank_rows = jnp.concatenate([
             jnp.broadcast_to(all_rows[None], (tpg_small, n)).reshape(-1),
