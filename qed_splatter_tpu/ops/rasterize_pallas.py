@@ -767,7 +767,11 @@ def rasterize_tiles_pallas(
 
     # one packed channel-major gather; its custom VJP reduces gradients by
     # grouped segment sum instead of XLA's scalar scatter-add
-    from qed_splatter_tpu.ops.segment import tile_gather_cm, tile_gather_ranked
+    from qed_splatter_tpu.ops.segment import (
+        tile_gather_cm,
+        tile_gather_ranked,
+        tile_gather_ranked_sort,
+    )
 
     # NOTE (negative result, round 4): splitting the gather into an f32
     # geometry slab + bf16 color slab under mixed precision — to halve the
@@ -781,12 +785,17 @@ def rasterize_tiles_pallas(
         g = tile_gather_ranked(packed, order, inv_order, tile_ranks,
                                slab_perm, slab_bounds,
                                absgrad_seed=absgrad_seed)
+    elif tile_ranks is not None and inv_order is not None:
+        # big-slab training path (binning skipped the grouping plan above
+        # segment.BIG_SLAB_SLOTS): same forward, sort-reduction VJP
+        g = tile_gather_ranked_sort(packed, order, inv_order, tile_ranks,
+                                    absgrad_seed=absgrad_seed)
     elif tile_ranks is not None:
         # forward-only rank addressing (eval/export: nothing differentiates
         # through the gather, so no reduction plan is needed)
-        safe = jnp.maximum(tile_ranks, 0)
-        ok = (tile_ranks >= 0)[:, None, :]
-        g = jnp.where(ok, packed[order][safe].transpose(0, 2, 1), 0.0)
+        from qed_splatter_tpu.ops.segment import _ranked_gather_fwd_impl
+
+        g = _ranked_gather_fwd_impl(packed, order, tile_ranks)
     else:
         g = tile_gather_cm(packed, tile_lists)
     g_means = g[:, 0:2]

@@ -48,6 +48,38 @@ def segment_sum_by_sort(
 
 _BLOCK = 128
 
+# Slab-size threshold (T*K slots) above which the big-slab strategies win
+# (round-5 on-chip measurements, outputs/bench_gather{3,4,5}_r5.txt):
+# - XLA's row gather is PER-INDEX bound (~6.6 ns/row f32 regardless of
+#   locality or row width), but the per-index cost follows the ELEMENT
+#   width: a u16 gather runs 2.5x faster. An f32 row carried as two u16
+#   bitcast halves gathers at 2-byte speed and reconstructs EXACTLY
+#   (29.3 -> 12.5 ms at 4.4M slots). Below the threshold the split/join
+#   overhead loses (6.9 -> 8.5 ms at 1.1M slots).
+# - The VJP's rank-grouping permutation gather degrades super-linearly
+#   once its operand spills cache (4.5 ns/row at 44 MB -> 16.6 ns/row at
+#   176 MB: 78 ms/step in the dense profile, outputs/profile_dense_r5.txt)
+#   — above the threshold a marker-merged (key, 10-payload) sort reduction
+#   replaces gather+plan entirely.
+BIG_SLAB_SLOTS = 2_500_000
+
+
+def split_rows_u16(x: jnp.ndarray) -> jnp.ndarray:
+    """[M, C] f32 -> [M, 2C] u16 (hi halves then lo halves, bitcast)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jnp.concatenate(
+        [(u >> 16).astype(jnp.uint16), (u & 0xFFFF).astype(jnp.uint16)],
+        axis=-1,
+    )
+
+
+def join_slab_u16(slab: jnp.ndarray) -> jnp.ndarray:
+    """[T, 2C, K] u16 channel-major slab -> [T, C, K] f32, exact."""
+    c = slab.shape[1] // 2
+    hi = slab[:, :c].astype(jnp.uint32) << 16
+    lo = slab[:, c:].astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)
+
 
 def _tri_lower_incl(b: int) -> jnp.ndarray:
     """[B, B] matrix L with L[i, j] = 1 iff j <= i (inclusive prefix)."""
@@ -195,9 +227,16 @@ def tile_gather_ranked(
 
 
 def _ranked_gather_fwd_impl(params, order, tile_ranks):
+    t, k = tile_ranks.shape
     by_rank = params[order]                    # [N, C] rank-space rows
     safe = jnp.maximum(tile_ranks, 0)
     ok = (tile_ranks >= 0)[:, None, :]
+    if t * k >= BIG_SLAB_SLOTS and params.dtype == jnp.float32:
+        # big-slab path: gather u16 bitcast halves (per-index cost follows
+        # element width; exact reconstruction — see BIG_SLAB_SLOTS note)
+        tab = split_rows_u16(by_rank)          # [N, 2C] u16
+        slab = tab[safe].transpose(0, 2, 1)    # [T, 2C, K]
+        return jnp.where(ok, join_slab_u16(slab), 0.0)
     return jnp.where(ok, by_rank[safe].transpose(0, 2, 1), 0.0)
 
 
@@ -259,6 +298,112 @@ def _tgra_bwd(res, g):
 
 
 _tile_gather_ranked_abs.defvjp(_tgra_fwd, _tgra_bwd)
+
+
+def _sort_reduce_by_rank(rows, flat_ranks, n, with_abs):
+    """[M, C] slab rows + [M] depth ranks -> ([N, C] per-rank sums,
+    [N, 2] per-rank |row[:2]| sums or None) via ONE marker-merged
+    (key, C-payload) sort — no permutation gather, no precomputed plan.
+
+    Key layout mirrors ops.tiles' plan construction: slot key 2*rank+1
+    sorts immediately AFTER marker key 2*rank, padded slots (rank -1) get
+    key 2n+1 past the last marker. Marker rows carry zero payload, so the
+    prefix-sum boundary diff over marker positions sums exactly each
+    rank's slot rows. The bwd-side sort replaces the rank-grouping
+    permutation gather whose >=176 MB operand gathers at 16.6 ns/row
+    (dense profile fusion.11, 78 ms/step) with a ~34 ms -> net win only
+    for big slabs; callers gate on BIG_SLAB_SLOTS."""
+    m, c = rows.shape
+    slot_key = 2 * jnp.where(flat_ranks >= 0, flat_ranks, n) + 1
+    marker_key = 2 * jnp.arange(n + 1, dtype=jnp.int32)
+    keys = jnp.concatenate([slot_key.astype(jnp.int32), marker_key])
+    zero = jnp.zeros((n + 1,), jnp.float32)
+    chans = tuple(
+        jnp.concatenate([rows[:, i].astype(jnp.float32), zero])
+        for i in range(c)
+    )
+    sorted_ = jax.lax.sort((keys,) + chans, dimension=0, is_stable=False,
+                           num_keys=1)
+    skeys = sorted_[0]
+    srows = jnp.stack(sorted_[1:], axis=-1)          # [M + n + 1, C]
+    pos_if_marker = jnp.where(
+        (skeys & 1) == 0,
+        jnp.arange(skeys.shape[0], dtype=jnp.int32),
+        jnp.iinfo(jnp.int32).max,
+    )
+    bounds = jax.lax.sort(pos_if_marker)[:n + 1]
+    sums = grouped_segment_sum(srows, bounds)
+    abs_sums = (grouped_segment_sum(jnp.abs(srows[:, :2]), bounds)
+                if with_abs else None)
+    return sums, abs_sums
+
+
+def tile_gather_ranked_sort(
+    params: jnp.ndarray,      # [N, C] (gaussian-id order)
+    order: jnp.ndarray,       # [N] int32 depth order (rank -> id)
+    inv_order: jnp.ndarray,   # [N] int32 (id -> rank)
+    tile_ranks: jnp.ndarray,  # [T, K] int32 depth ranks, -1 = empty slot
+    absgrad_seed: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """``tile_gather_ranked`` for BIG slabs: same forward, but the VJP
+    reduces slab cotangents by a marker-merged sort instead of the
+    grouping-permutation gather (which needs no slab_perm/slab_bounds —
+    ops.tiles skips building the plan above BIG_SLAB_SLOTS)."""
+    if absgrad_seed is None:
+        return _tile_gather_ranked_sort(params, order, inv_order,
+                                        tile_ranks)
+    return _tile_gather_ranked_sort_abs(params, absgrad_seed, order,
+                                        inv_order, tile_ranks)
+
+
+@jax.custom_vjp
+def _tile_gather_ranked_sort(params, order, inv_order, tile_ranks):
+    return _ranked_gather_fwd_impl(params, order, tile_ranks)
+
+
+def _tgrs_fwd(params, order, inv_order, tile_ranks):
+    out = _tile_gather_ranked_sort(params, order, inv_order, tile_ranks)
+    return out, (inv_order, tile_ranks, params.shape[0],
+                 jnp.zeros((0,), params.dtype))
+
+
+def _tgrs_bwd(res, g):
+    inv_order, tile_ranks, n, dt_carrier = res
+    c = g.shape[1]
+    rows = g.transpose(0, 2, 1).reshape(-1, c)
+    by_rank, _ = _sort_reduce_by_rank(
+        rows, tile_ranks.reshape(-1), n, with_abs=False)
+    return (by_rank[inv_order].astype(dt_carrier.dtype),
+            None, None, None)
+
+
+_tile_gather_ranked_sort.defvjp(_tgrs_fwd, _tgrs_bwd)
+
+
+@jax.custom_vjp
+def _tile_gather_ranked_sort_abs(params, absgrad_seed, order, inv_order,
+                                 tile_ranks):
+    return _ranked_gather_fwd_impl(params, order, tile_ranks)
+
+
+def _tgrsa_fwd(params, absgrad_seed, order, inv_order, tile_ranks):
+    out = _tile_gather_ranked_sort_abs(params, absgrad_seed, order,
+                                       inv_order, tile_ranks)
+    return out, (inv_order, tile_ranks, params.shape[0],
+                 jnp.zeros((0,), params.dtype))
+
+
+def _tgrsa_bwd(res, g):
+    inv_order, tile_ranks, n, dt_carrier = res
+    c = g.shape[1]
+    rows = g.transpose(0, 2, 1).reshape(-1, c)
+    by_rank, abs_rank = _sort_reduce_by_rank(
+        rows, tile_ranks.reshape(-1), n, with_abs=True)
+    return (by_rank[inv_order].astype(dt_carrier.dtype),
+            abs_rank[inv_order], None, None, None)
+
+
+_tile_gather_ranked_sort_abs.defvjp(_tgrsa_fwd, _tgrsa_bwd)
 
 
 def tile_gather_cm(

@@ -437,34 +437,51 @@ def bin_gaussians(
     # group slab slots by depth rank for the gradient-reduction VJP
     slab_perm = slab_bounds = inv_order = None
     if with_slab_plan:
-        # Grouping AND segment bounds from sorts alone (sorts are ~1 ms at
-        # this size; a bounds searchsorted is a 21-pass binary-search while
-        # loop (~18 ms) and a histogram scatter runs on the scalar core
-        # (~9 ms)): merge one marker element per rank into the grouping
-        # sort — key 2*rank for markers sorts immediately BEFORE key
-        # 2*rank+1 slots — then extract the n+1 marker positions (in rank
-        # order by construction) with a second single-operand sort.
-        # Marker payloads index one past the slot range; the reduction
-        # gathers them from a zero pad row, contributing nothing.
-        flat = ranks.reshape(-1)
-        m_slots = flat.shape[0]
-        slot_key = 2 * jnp.where(flat >= 0, flat, n).astype(jnp.int32) + 1
-        marker_key = 2 * jnp.arange(n + 1, dtype=jnp.int32)
-        payload = jnp.concatenate([
-            jnp.arange(m_slots, dtype=jnp.int32),
-            jnp.full((n + 1,), m_slots, jnp.int32),
-        ])
-        merged_keys, slab_perm = jax.lax.sort(
-            (jnp.concatenate([slot_key, marker_key]), payload),
+        from qed_splatter_tpu.ops.segment import BIG_SLAB_SLOTS
+
+        # inv_order (id -> rank) without argsort: `order` is a
+        # permutation, so ONE unstable (key, payload) sort of
+        # (order, position) grouped by gaussian id yields each id's rank
+        # as the payload (argsort costs 2.5 ms at 131k vs ~1 ms here).
+        inv_order = jax.lax.sort(
+            (order, jnp.arange(n, dtype=jnp.int32)),
             dimension=0, is_stable=False, num_keys=1,
-        )
-        pos_if_marker = jnp.where(
-            (merged_keys & 1) == 0,
-            jnp.arange(merged_keys.shape[0], dtype=jnp.int32),
-            jnp.iinfo(jnp.int32).max,
-        )
-        slab_bounds = jax.lax.sort(pos_if_marker)[:n + 1]
-        inv_order = jnp.argsort(order).astype(jnp.int32)
+        )[1]
+        if num_tiles * max_per_tile < BIG_SLAB_SLOTS:
+            # Grouping AND segment bounds from sorts alone (sorts are
+            # ~1 ms at this size; a bounds searchsorted is a 21-pass
+            # binary-search while loop (~18 ms) and a histogram scatter
+            # runs on the scalar core (~9 ms)): merge one marker element
+            # per rank into the grouping sort — key 2*rank for markers
+            # sorts immediately BEFORE key 2*rank+1 slots — then extract
+            # the n+1 marker positions (in rank order by construction)
+            # with a second single-operand sort. Marker payloads index
+            # one past the slot range; the reduction gathers them from a
+            # zero pad row, contributing nothing.
+            #
+            # BIG slabs skip the plan entirely: the VJP reduces by a
+            # marker-merged payload sort instead
+            # (segment.tile_gather_ranked_sort) — the plan's permutation
+            # gather degrades to 16.6 ns/row once its operand spills
+            # cache (outputs/profile_dense_r5.txt fusion.11).
+            flat = ranks.reshape(-1)
+            m_slots = flat.shape[0]
+            slot_key = 2 * jnp.where(flat >= 0, flat, n).astype(jnp.int32) + 1
+            marker_key = 2 * jnp.arange(n + 1, dtype=jnp.int32)
+            payload = jnp.concatenate([
+                jnp.arange(m_slots, dtype=jnp.int32),
+                jnp.full((n + 1,), m_slots, jnp.int32),
+            ])
+            merged_keys, slab_perm = jax.lax.sort(
+                (jnp.concatenate([slot_key, marker_key]), payload),
+                dimension=0, is_stable=False, num_keys=1,
+            )
+            pos_if_marker = jnp.where(
+                (merged_keys & 1) == 0,
+                jnp.arange(merged_keys.shape[0], dtype=jnp.int32),
+                jnp.iinfo(jnp.int32).max,
+            )
+            slab_bounds = jax.lax.sort(pos_if_marker)[:n + 1]
 
     return TileBinning(
         tile_lists=lists,

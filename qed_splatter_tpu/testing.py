@@ -498,3 +498,188 @@ def write_room_dataset(
         ]
     with open(root / "transforms.json", "w") as fh:
         json.dump(meta, fh, indent=2)
+
+
+def write_forest_dataset(
+    root,
+    num_frames: int = 40,
+    width: int = 960,
+    height: int = 540,
+    seed: int = 0,
+    depth_unit: float = 1000.0,
+    eval_every: int = 8,
+    world_offset=(18.0, 0.0, -11.0),
+) -> None:
+    """Analytic ray-cast outdoor forest scene — BASELINE config #4 class
+    (reference README.md:20-28 "thesis workload": outdoor scene with
+    UNSCALED poses, trained with ``auto_scale_poses=False``,
+    ``center_method/orientation_method none`` and a large
+    ``random_scale=100`` cube init, with dense depth supervision).
+
+    Geometry: a procedurally textured ground plane at y = 0, vertical
+    tree trunks (cylinders) with spherical canopies, scattered over a
+    ~36 m clearing. Camera path: a fly-around at ~12-18 m radius, ~28 m
+    from the far trees — real outdoor scale in METERS, and the whole
+    scene is translated by ``world_offset`` (an odometry-frame offset:
+    robot/SfM odometry does not start at the scene centroid) so any
+    pipeline that silently re-centers or re-scales poses produces visibly
+    wrong gaussians, while the reference's ``random_scale=100`` origin
+    cube (+-50 m) still covers the offset geometry. Dense sensor depth
+    (z-depth, mm by default) for every pixel; sky pixels get depth 0
+    (invalid — the depth loss masks gt <= 0).
+    """
+    import json
+    from pathlib import Path
+
+    from PIL import Image
+
+    root = Path(root)
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    (root / "depth").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    off = np.asarray(world_offset, np.float64)
+
+    n_trees = 14
+    # trees in an annulus so the camera orbit stays in the clearing
+    ang = rng.uniform(0, 2 * np.pi, n_trees)
+    rad = rng.uniform(8.0, 17.0, n_trees)
+    tx = rad * np.cos(ang)
+    tz = rad * np.sin(ang)
+    trunk_r = rng.uniform(0.25, 0.55, n_trees)
+    trunk_h = rng.uniform(4.0, 8.0, n_trees)
+    canopy_r = rng.uniform(1.6, 3.2, n_trees)
+    palette = rng.uniform(0.2, 0.9, (8, 3))
+
+    f = 0.8 * max(width, height)
+    K = np.array(
+        [[f, 0, width / 2.0], [0, f, height / 2.0], [0, 0, 1]], np.float32
+    )
+
+    def shade_ground(p):
+        u, v = p[:, 0], p[:, 2]
+        checker = (np.floor(u * 0.8) + np.floor(v * 0.8)) % 2
+        wave = 0.5 + 0.5 * np.sin(1.7 * u) * np.cos(2.3 * v)
+        c = (np.array([0.25, 0.38, 0.16])[None] * (0.6 + 0.35 * checker[:, None])
+             + 0.25 * wave[:, None] * np.array([0.35, 0.3, 0.12])[None])
+        return np.clip(c, 0, 1)
+
+    def shade_trunk(p, i):
+        h = p[:, 1] / trunk_h[i]
+        ring = 0.5 + 0.5 * np.sin(12.0 * np.arctan2(p[:, 2] - tz[i],
+                                                    p[:, 0] - tx[i]))
+        c = (np.array([0.36, 0.24, 0.12])[None] * (0.7 + 0.3 * ring[:, None])
+             * (0.8 + 0.4 * h[:, None]))
+        return np.clip(c, 0, 1)
+
+    def shade_canopy(p, i):
+        base = palette[i % len(palette)] * np.array([0.4, 0.8, 0.35])
+        tex = 0.5 + 0.5 * np.sin(5.0 * p[:, 0]) * np.sin(4.0 * p[:, 1]) \
+            * np.sin(6.0 * p[:, 2])
+        return np.clip(base[None] * (0.55 + 0.45 * tex[:, None]), 0, 1)
+
+    def raycast(c2w_local):
+        eye = c2w_local[:3, 3]
+        R = c2w_local[:3, :3]
+        u, v = np.meshgrid(np.arange(width) + 0.5, np.arange(height) + 0.5)
+        d_cam = np.stack([
+            (u - K[0, 2]) / f, -(v - K[1, 2]) / f, -np.ones_like(u)
+        ], axis=-1).reshape(-1, 3)
+        d = d_cam @ R.T
+        M = d.shape[0]
+        best_t = np.full(M, np.inf)
+        kind = np.full(M, -1, np.int32)    # 0 ground, 1+i trunk, 100+i canopy
+
+        # ground plane y = 0 (one-sided from above)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tg = -eye[1] / d[:, 1]
+        ok = (tg > 1e-4) & np.isfinite(tg) & (d[:, 1] < 0)
+        pg = eye[0] + tg * d[:, 0]
+        zg = eye[2] + tg * d[:, 2]
+        ok &= (np.abs(pg) < 60.0) & (np.abs(zg) < 60.0)  # finite meadow
+        upd = ok & (tg < best_t)
+        best_t = np.where(upd, tg, best_t)
+        kind = np.where(upd, 0, kind)
+
+        for i in range(n_trees):
+            # vertical cylinder |(x,z) - (tx,tz)| = r, 0 <= y <= h
+            ox, oz = eye[0] - tx[i], eye[2] - tz[i]
+            a = d[:, 0] ** 2 + d[:, 2] ** 2
+            b = 2 * (ox * d[:, 0] + oz * d[:, 2])
+            cc = ox * ox + oz * oz - trunk_r[i] ** 2
+            disc = b * b - 4 * a * cc
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t1 = (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a)
+            y1 = eye[1] + t1 * d[:, 1]
+            ok = (disc > 0) & (t1 > 1e-4) & (y1 >= 0) & (y1 <= trunk_h[i])
+            upd = ok & (t1 < best_t)
+            best_t = np.where(upd, t1, best_t)
+            kind = np.where(upd, 1 + i, kind)
+            # canopy sphere at (tx, trunk_h + 0.6*canopy_r, tz)
+            cy = trunk_h[i] + 0.6 * canopy_r[i]
+            oc = eye - np.array([tx[i], cy, tz[i]])
+            b2 = 2 * (d @ oc)
+            c2 = oc @ oc - canopy_r[i] ** 2
+            disc2 = b2 * b2 - 4 * c2
+            with np.errstate(invalid="ignore"):
+                t2 = (-b2 - np.sqrt(np.maximum(disc2, 0))) / 2.0
+            ok2 = (disc2 > 0) & (t2 > 1e-4)
+            upd2 = ok2 & (t2 < best_t)
+            best_t = np.where(upd2, t2, best_t)
+            kind = np.where(upd2, 100 + i, kind)
+
+        hit = np.isfinite(best_t)
+        p = eye[None, :] + np.where(hit, best_t, 0.0)[:, None] * d
+        rgb = np.full((M, 3), [0.55, 0.7, 0.95])  # sky
+        g = kind == 0
+        if g.any():
+            rgb[g] = shade_ground(p[g])
+        for i in range(n_trees):
+            m = kind == 1 + i
+            if m.any():
+                rgb[m] = shade_trunk(p[m], i)
+            m = kind == 100 + i
+            if m.any():
+                rgb[m] = shade_canopy(p[m], i)
+        depth = np.where(hit, best_t, 0.0).reshape(height, width)
+        return rgb.reshape(height, width, 3), depth.astype(np.float32)
+
+    frames = []
+    for i in range(num_frames):
+        az = 2.0 * np.pi * i / num_frames
+        r_cam = 13.0 + 4.0 * np.sin(2 * az)
+        eye_h = 2.2 + 1.2 * np.sin(3 * az + 1.0)
+        c2w = orbit_c2w_opengl(
+            r_cam, az, 0.08 + 0.05 * np.sin(az), target=(0.0, 1.5, 0.0)
+        ).astype(np.float64)
+        # orbit_c2w_opengl targets (0,1.5,0) at radius r; lift to eye_h
+        c2w[1, 3] = eye_h
+        rgb, depth = raycast(c2w.astype(np.float64))
+        Image.fromarray(
+            np.clip(rgb * 255, 0, 255).astype(np.uint8)
+        ).save(root / "images" / f"frame_{i:04d}.png")
+        np.save(root / "depth" / f"frame_{i:04d}.npy",
+                (depth * depth_unit).astype(np.float32))
+        c2w_world = c2w.copy()
+        c2w_world[:3, 3] += off        # survey-frame offset: UNSCALED poses
+        frames.append({
+            "file_path": f"images/frame_{i:04d}.png",
+            "depth_file_path": f"depth/frame_{i:04d}.npy",
+            "transform_matrix": c2w_world.tolist(),
+        })
+    meta = {
+        "fl_x": float(f), "fl_y": float(f),
+        "cx": width / 2.0, "cy": height / 2.0,
+        "w": width, "h": height,
+        "frames": frames,
+    }
+    if eval_every > 0:
+        meta["val_filenames"] = [
+            fr["file_path"] for i, fr in enumerate(frames)
+            if i % eval_every == 0
+        ]
+        meta["train_filenames"] = [
+            fr["file_path"] for i, fr in enumerate(frames)
+            if i % eval_every != 0
+        ]
+    with open(root / "transforms.json", "w") as fh:
+        json.dump(meta, fh, indent=2)

@@ -479,3 +479,78 @@ def test_needle_splat_gradient_parity():
         assert np.abs(a - b).max() / denom < 1e-4, (
             f"needle grad mismatch: {name}"
         )
+
+
+def test_sort_vjp_matches_plan_and_scatter():
+    """tile_gather_ranked_sort (big-slab path: no precomputed plan, VJP by
+    marker-merged payload sort) matches the plan-gather path and the exact
+    id-space scatter in forward values, gradients, and absgrad stats."""
+    from qed_splatter_tpu.ops.segment import (
+        tile_gather_cm,
+        tile_gather_ranked,
+        tile_gather_ranked_sort,
+    )
+
+    res, colors, opac, binning = _projected(n=192, seed=13)
+    packed = jnp.concatenate(
+        [res.means2d[0], res.conics[0], colors, opac[:, None]], axis=-1
+    )
+    tl = binning.tile_lists
+    n = packed.shape[0]
+
+    def loss(g):
+        return jnp.sum(jnp.sin(g) * g)
+
+    vs, gs = jax.value_and_grad(
+        lambda p: loss(tile_gather_cm(p, tl)))(packed)
+    vp, gp = jax.value_and_grad(lambda p: loss(tile_gather_ranked(
+        p, binning.order, binning.inv_order, binning.tile_ranks,
+        binning.slab_perm, binning.slab_bounds)))(packed)
+    vo, go = jax.value_and_grad(lambda p: loss(tile_gather_ranked_sort(
+        p, binning.order, binning.inv_order, binning.tile_ranks)))(packed)
+    np.testing.assert_allclose(float(vo), float(vs), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(go), np.asarray(gs),
+                               atol=1e-4, rtol=1e-4)
+
+    # absgrad side-channel: sort path vs plan path
+    seed = jnp.zeros((n, 2), jnp.float32)
+    _, (gp2, ap) = jax.value_and_grad(
+        lambda p, s: loss(tile_gather_ranked(
+            p, binning.order, binning.inv_order, binning.tile_ranks,
+            binning.slab_perm, binning.slab_bounds, absgrad_seed=s)),
+        argnums=(0, 1))(packed, seed)
+    _, (go2, ao) = jax.value_and_grad(
+        lambda p, s: loss(tile_gather_ranked_sort(
+            p, binning.order, binning.inv_order, binning.tile_ranks,
+            absgrad_seed=s)), argnums=(0, 1))(packed, seed)
+    np.testing.assert_allclose(np.asarray(go2), np.asarray(gp2),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ao), np.asarray(ap),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_u16_gather_bitexact():
+    """The big-slab u16 bitcast gather is BIT-exact vs the f32 row gather
+    (it moves the same bits in halves), including negatives, denormals,
+    infs and NaN payloads."""
+    from qed_splatter_tpu.ops import segment
+
+    res, colors, opac, binning = _projected(n=192, seed=17)
+    packed = jnp.concatenate(
+        [res.means2d[0], res.conics[0], colors, opac[:, None]], axis=-1
+    )
+    # inject special values into culled rows to stress the bitcast
+    packed = packed.at[0, 0].set(-0.0).at[1, 1].set(jnp.inf)
+    packed = packed.at[2, 2].set(1e-42)
+
+    want = segment._ranked_gather_fwd_impl(
+        packed, binning.order, binning.tile_ranks)
+    try:
+        orig = segment.BIG_SLAB_SLOTS
+        segment.BIG_SLAB_SLOTS = 1      # force the u16 path
+        got = segment._ranked_gather_fwd_impl(
+            packed, binning.order, binning.tile_ranks)
+    finally:
+        segment.BIG_SLAB_SLOTS = orig
+    np.testing.assert_array_equal(
+        np.asarray(got).view(np.uint32), np.asarray(want).view(np.uint32))

@@ -32,14 +32,16 @@ def main() -> None:
     from qed_splatter_tpu.testing import orbit_c2w_opengl
 
     width, height = 1296, 840
-    capacity, n_alive = 131_072, 80_000
+    capacity, n_alive, k_cap = 131_072, 80_000, 256
+    if len(sys.argv) > 1 and sys.argv[1] == "dense":
+        capacity, n_alive, k_cap = 327_680, 288_000, 1024
 
     rng = np.random.default_rng(0)
     pts = rng.uniform(-1.2, 1.2, (n_alive, 3)).astype(np.float32)
     pts[:, 2] = pts[:, 2] * 0.7 + 3.0
     rgb = (rng.uniform(0, 1, (n_alive, 3)) * 255).astype(np.uint8)
     params = init_from_points(pts, rgb, capacity=capacity)
-    cfg = ModelConfig(camera_opt_mode="SO3xR3", max_per_tile=256,
+    cfg = ModelConfig(camera_opt_mode="SO3xR3", max_per_tile=k_cap,
                       background_color="random")
     f = 0.85 * max(width, height)
     K = jnp.asarray(np.array(

@@ -76,6 +76,38 @@ def main() -> int:
         check(f"{label}.render", pal.render, ref.render, 2e-4)
         check(f"{label}.alpha", pal.alpha, ref.alpha, 2e-4)
 
+    # ---- slab gather: Mosaic codegen vs XLA slice-gather (ADVICE r4
+    # medium: dynamic pltpu.roll + sublane slicing are exactly where
+    # compiled behavior can diverge from interpret mode; cover every
+    # start-alignment class x K on the real chip) ----
+    from qed_splatter_tpu.ops.tiles import slab_gather_unaligned
+
+    rng_s = np.random.default_rng(7)
+    m = 50_000
+    keys = jnp.asarray(
+        np.sort(rng_s.integers(0, 2 ** 31, m, dtype=np.int64))
+        .astype(np.uint32))
+    for k_slab in (256, 1024):
+        # alignment classes: block-aligned, sublane-aligned (x128),
+        # odd lanes, boundary-straddling, clamped edges
+        starts = np.concatenate([
+            np.arange(0, 4096, 1024),        # block-aligned
+            np.arange(128, 4096, 512),       # 128-aligned, not 1024
+            rng_s.integers(0, m - k_slab, 64),   # arbitrary
+            [1, 127, 129, 1023, 1025, m - k_slab, m - 1, m],  # edges
+        ]).astype(np.int32)
+        starts_j = jnp.asarray(starts)
+        got = jax.jit(
+            lambda s: slab_gather_unaligned(keys, s, k_slab, fill=-1)
+        )(starts_j)
+        padded = np.concatenate(
+            [np.asarray(keys).view(np.int32),
+             np.full(k_slab, -1, np.int32)])
+        want = np.stack([padded[s:s + k_slab] for s in starts])
+        check(f"slab_k{k_slab}.codegen",
+              np.asarray(got).view(np.int32).astype(np.int64),
+              want.astype(np.int64), 0, 0)
+
     # ---- backward parity: analytic custom-VJP vs XLA autodiff ----
     res, colors, opac, binning = projected(192, 3)
     m2d, con = res.means2d[0], res.conics[0]
