@@ -191,6 +191,18 @@ def main() -> None:
     t("slab_gather", slab_op, (packed_sorted, boundaries))
     ranks = slab_op(packed_sorted, boundaries)
 
+    # stage 6b: the PRODUCTION slab formulation (Pallas
+    # slab_gather_unaligned when K % 128 == 0 on TPU) — benching only the
+    # XLA fallback misdirected round-4 optimization (ADVICE r4 low #4)
+    if max_per_tile % 128 == 0:
+        from qed_splatter_tpu.ops.tiles import slab_gather_unaligned
+
+        def slab_pallas_op(ps, boundaries):
+            return slab_gather_unaligned(
+                ps, boundaries[:-1], max_per_tile, fill=-1)
+
+        t("slab_gather_pallas", slab_pallas_op, (packed_sorted, boundaries))
+
     # stage 7: slab plan (marker merge sort + marker extraction)
     def plan_op(ranks):
         flat = ranks.reshape(-1)
