@@ -522,3 +522,60 @@ def test_streaming_merge_respects_budget(tmp_path):
     assert len(msgs) >= 2 and all("re-voxelized" in m for m in msgs)
     assert len(merged) < 2000  # 2000 raw points, deduped by voxel passes
     assert merged.min() >= 0.0 and merged.max() <= 1.0
+
+
+def test_forest_dataset_consistency_and_unscaled_frame(tmp_path):
+    """write_forest_dataset (BASELINE config #4 class): depth must be
+    multi-view consistent in the UNSCALED odometry frame (poses carry the
+    world offset; depths are frame-local z along the ray), sky pixels get
+    depth 0 (masked by the depth loss), and the scene must sit at real
+    outdoor scale in meters, off-origin."""
+    import json
+
+    import numpy as np
+
+    from qed_splatter_tpu import testing
+
+    testing.write_forest_dataset(tmp_path, num_frames=6, width=128,
+                                 height=72, seed=2, eval_every=3)
+    meta = json.loads((tmp_path / "transforms.json").read_text())
+    assert len(meta["val_filenames"]) == 2
+    d1 = np.load(tmp_path / "depth" / "frame_0001.npy") / 1000.0
+    d2 = np.load(tmp_path / "depth" / "frame_0002.npy") / 1000.0
+    c1 = np.asarray(meta["frames"][1]["transform_matrix"])
+    c2 = np.asarray(meta["frames"][2]["transform_matrix"])
+    # unscaled odometry frame: camera positions off-origin, meters-scale
+    assert np.linalg.norm(c1[:3, 3]) > 5.0
+    f, cx, cy = meta["fl_x"], meta["cx"], meta["cy"]
+    H, W = d1.shape
+    assert (d1 == 0).any()            # sky present
+    assert (d1[d1 > 0] > 1.0).all()   # outdoor distances in meters
+    u, v = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    dirs = np.stack([(u - cx) / f, -(v - cy) / f, -np.ones_like(u)],
+                    -1).reshape(-1, 3)
+    hit = d1.reshape(-1) > 0
+    pts = c1[:3, 3] + d1.reshape(-1, 1) * (dirs @ c1[:3, :3].T)
+    pc = (pts[hit] - c2[:3, 3]) @ c2[:3, :3]
+    z = -pc[:, 2]
+    uu = f * (pc[:, 0] / z) + cx
+    vv = f * (-pc[:, 1] / z) + cy
+    # restrict to < 12 m: beyond that the ground is seen at grazing
+    # incidence where depth changes by meters per pixel row and
+    # pixel-quantized resampling cannot discriminate consistency
+    ok = (z > 0.05) & (z < 12.0) & (uu >= 0) & (uu < W - 1) \
+        & (vv >= 0) & (vv < H - 1)
+    assert ok.sum() > 500
+    # best-of-4 neighboring pixels (pixel-center quantization)
+    u0 = np.floor(uu[ok]).astype(int)
+    v0 = np.floor(vv[ok]).astype(int)
+    diffs = np.stack([
+        np.abs(d2[v0 + dv, u0 + du] - z[ok])
+        for dv in (0, 1) for du in (0, 1)
+    ])
+    samp_any = np.stack([
+        d2[v0 + dv, u0 + du] for dv in (0, 1) for du in (0, 1)
+    ]).max(0)
+    visible = samp_any > 0
+    consistent = (diffs.min(0)[visible]
+                  < 0.1 * z[ok][visible]).mean()
+    assert consistent > 0.5  # rest occluded (trunks/canopies; 60-deg baselines)
