@@ -83,6 +83,18 @@ class ModelConfig:
     # log2(limit/512) times).
     adaptive_max_per_tile: bool = True
     max_per_tile_limit: int = 4096
+    # hierarchical pair-expansion budget (ops.tiles): every gaussian gets
+    # this many tile-pair slots; bigger splats compete for a bounded
+    # overflow table. The trainer escalates it per resolution bucket
+    # (x2, up to max_tiles_per_gaussian) when the bbox_truncated metric
+    # shows >0.5% of alive splats losing bbox cells — the round-5
+    # config-2 collapse: at 1/1 res after coarse-res training, ~20% of
+    # 614k splats exceeded 8 cells, and a truncated splat keeps an
+    # arbitrary top-rows subset of its bbox (banding artifacts, train
+    # PSNR 33 -> 16).
+    small_tiles_per_gaussian: int = 8
+    max_tiles_per_gaussian: int = 64
+    adaptive_pair_budget: bool = True
     # run the Pallas kernels in interpret mode off-TPU (tests / multichip
     # dryrun exercise the exact hot-path code a TPU pod would run)
     pallas_interpret: bool = False

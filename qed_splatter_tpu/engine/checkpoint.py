@@ -26,7 +26,8 @@ def save_checkpoint(ckpt_dir, state: TrainState, step: int,
                     dataparser_transform=None,
                     dataparser_scale: float = 1.0,
                     model_config=None,
-                    k_by_d=None) -> Path:
+                    k_by_d=None,
+                    tpg_by_d=None) -> Path:
     ckpt_dir = Path(ckpt_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"step-{step:09d}"
@@ -66,6 +67,11 @@ def save_checkpoint(ckpt_dir, state: TrainState, step: int,
         "k_by_d": (
             {str(d): int(k) for d, k in k_by_d.items()}
             if k_by_d else None
+        ),
+        # adaptive pair-expansion budget table (same resume rationale)
+        "tpg_by_d": (
+            {str(d): int(k) for d, k in tpg_by_d.items()}
+            if tpg_by_d else None
         ),
     }
     (ckpt_dir / "latest.json").write_text(json.dumps(meta))

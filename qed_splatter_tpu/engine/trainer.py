@@ -156,6 +156,11 @@ class Trainer:
         # resolution does; a global K would carry the coarse phase's
         # worst case into every later bucket
         self._k_by_d: Dict[int, int] = {}
+        # adaptive hierarchical pair-expansion budget, also per bucket:
+        # full-res splats cover ~4x the tiles of the coarse phase that
+        # precedes them (round-5 config-2 collapse: 20% of splats
+        # bbox-truncated at 1/1 res)
+        self._tpg_by_d: Dict[int, int] = {}
         self._refine_jit = jax.jit(
             refine,
             static_argnames=(
@@ -244,6 +249,8 @@ class Trainer:
             state = ckpt.restore_checkpoint(latest, state)
             for dd, kk in (meta.get("k_by_d") or {}).items():
                 self._k_by_d[int(dd)] = int(kk)
+            for dd, kk in (meta.get("tpg_by_d") or {}).items():
+                self._tpg_by_d[int(dd)] = int(kk)
             print(f"Resumed from {latest} at step {int(state.step)}")
         return state
 
@@ -685,6 +692,7 @@ class Trainer:
                 dataparser_scale=self.dm.scene.scale_factor,
                 model_config=self.cfg,
                 k_by_d=self._k_by_d,
+                tpg_by_d=self._tpg_by_d,
             )
             print(f"Growing gaussian capacity {cap} -> {new_cap} ({why}; "
                   f"pre-growth checkpoint at step {cur})")
@@ -788,6 +796,7 @@ class Trainer:
                 dataparser_scale=self.dm.scene.scale_factor,
                 model_config=self.cfg,
                 k_by_d=self._k_by_d,
+                tpg_by_d=self._tpg_by_d,
             )
             # record as rollback target only if the canary says the saved
             # params are finite (a poisoned checkpoint must never be the
@@ -825,6 +834,7 @@ class Trainer:
                 dataparser_scale=self.dm.scene.scale_factor,
                 model_config=self.cfg,
                 k_by_d=self._k_by_d,
+                tpg_by_d=self._tpg_by_d,
             )
             print(f"Post-mortem state saved to {self.run_dir/'postmortem'}")
         except Exception as e:  # post-mortem is best-effort
@@ -985,6 +995,37 @@ class Trainer:
                       f"res (max per-tile count {max_count:.0f})")
                 self._k_by_d[d] = new_k
 
+    def _tpg_for(self, d: int) -> int:
+        """Pair-expansion budget for bucket 1/d (see _k_for's rationale —
+        finer buckets inherit the max of coarser ones as a floor)."""
+        if d not in self._tpg_by_d:
+            coarser = [k for dd, k in self._tpg_by_d.items() if dd > d]
+            self._tpg_by_d[d] = max(
+                [self.config.model.small_tiles_per_gaussian, *coarser]
+            )
+        return self._tpg_by_d[d]
+
+    def _maybe_adapt_tpg(self, bbox_truncated, d: int) -> None:
+        """Grow the hierarchical pair-expansion budget (x2, up to
+        max_tiles_per_gaussian) when >0.5% of alive splats lose bbox
+        cells: a truncated splat keeps an arbitrary top-rows subset of
+        its bbox, so heavy truncation produces banding artifacts and a
+        collapse the photometric loss cannot fix (round-5 config-2: the
+        1/1-res phase after coarse-res growth truncated 130k of 614k
+        splats; train PSNR fell 33 -> 16). One bounded recompile per
+        doubling, mirroring adaptive K."""
+        cfg = self.cfg
+        if not cfg.adaptive_pair_budget or bbox_truncated is None:
+            return
+        tpg_now = self._tpg_for(d)
+        alive = max(int(self.state.params.num_alive()), 1)
+        if (bbox_truncated > 0.005 * alive
+                and tpg_now < cfg.max_tiles_per_gaussian):
+            new_tpg = min(tpg_now * 2, cfg.max_tiles_per_gaussian)
+            print(f"Growing pair budget {tpg_now} -> {new_tpg} at 1/{d} "
+                  f"res (bbox_truncated {bbox_truncated:.0f} of {alive})")
+            self._tpg_by_d[d] = new_tpg
+
     def _use_scan(self) -> bool:
         if self.mesh is not None or self.config.steps_per_dispatch == 1:
             return False
@@ -1044,9 +1085,12 @@ class Trainer:
             self._queue = self._queue[n:]
             import dataclasses as _dc
 
-            if self.cfg.max_per_tile != self._k_for(d):
+            if (self.cfg.max_per_tile != self._k_for(d)
+                    or self.cfg.small_tiles_per_gaussian
+                    != self._tpg_for(d)):
                 self.cfg = _dc.replace(
-                    self.cfg, max_per_tile=self._k_for(d)
+                    self.cfg, max_per_tile=self._k_for(d),
+                    small_tiles_per_gaussian=self._tpg_for(d),
                 )
             scan_fn, ds = self._get_scan_fn(
                 d, n, need_absgrad=(step < self.cfg.stop_split_at),
@@ -1079,6 +1123,7 @@ class Trainer:
                 if "tile_max_count" in marr else None
             )
             self._maybe_adapt_k(overflow, tmc, ds.width, ds.height, d)
+            self._maybe_adapt_tpg(last.get("bbox_truncated"), d)
             self.writer.write(step, last, prefix="train")
             if self.viewer is not None:
                 self.viewer.update(self.state.params, step, metrics=last)
@@ -1118,11 +1163,14 @@ class Trainer:
             if self.config.profile_dir and step == start_step + 10:
                 jax.profiler.start_trace(self.config.profile_dir)
             d = self._downscale_factor(step)
-            if self.cfg.max_per_tile != self._k_for(d):
+            if (self.cfg.max_per_tile != self._k_for(d)
+                    or self.cfg.small_tiles_per_gaussian
+                    != self._tpg_for(d)):
                 import dataclasses as _dc
 
                 self.cfg = _dc.replace(
-                    self.cfg, max_per_tile=self._k_for(d)
+                    self.cfg, max_per_tile=self._k_for(d),
+                    small_tiles_per_gaussian=self._tpg_for(d),
                 )
             if self.mesh is not None:
                 items = self.dm.next_train_batch(
@@ -1181,6 +1229,7 @@ class Trainer:
                     host.get("tile_overflow"), host.get("tile_max_count"),
                     cam.width, cam.height, d,
                 )
+                self._maybe_adapt_tpg(host.get("bbox_truncated"), d)
                 if not np.isfinite(host["loss"]) or not self._state_finite():
                     step = self._handle_divergence(cur)
                     self._reseed_sampling()
@@ -1221,10 +1270,15 @@ class Trainer:
         import dataclasses as _dc
 
         k = self._k_eval(d)
+        # eval renders at the finest bucket: use the largest escalated
+        # pair budget so eval never bbox-truncates more than training
+        tpg = max([self.config.model.small_tiles_per_gaussian,
+                   *self._tpg_by_d.values()])
         while True:
-            eval_cfg = _dc.replace(self.cfg, max_per_tile=k)
+            eval_cfg = _dc.replace(self.cfg, max_per_tile=k,
+                                   small_tiles_per_gaussian=tpg)
             key = ("eval_render", cam.width, cam.height,
-                   self.state.params.capacity, eval_cfg.max_per_tile)
+                   self.state.params.capacity, eval_cfg.max_per_tile, tpg)
             if key not in self._step_fns:
                 w, h = cam.width, cam.height
 

@@ -157,6 +157,8 @@ def render(
         height,
         tile_size=cfg.tile_size,
         max_per_tile=cfg.max_per_tile,
+        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+        small_tiles_per_gaussian=cfg.small_tiles_per_gaussian,
         with_slab_plan=train,  # eval never backprops through the gather
         # the Pallas path addresses slabs by depth rank; decoding gaussian
         # ids is a [T, K] gather from the order table it never needs

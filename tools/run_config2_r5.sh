@@ -8,7 +8,7 @@ cd /root/repo
 export QED_HBM_BYTES=16642998272   # measured: outputs/measure_hbm_r4.log
 python -m qed_splatter_tpu.cli train \
   --data outputs/room1080-rgb-r4 \
-  --output-dir outputs --experiment-name room1080-7k-r5 \
+  --output-dir outputs --experiment-name room1080-7k-r5b \
   --supervise --max-restarts 8 \
   --max-num-iterations 7000 \
   --log-every 100 --steps-per-eval-image 100 \
